@@ -1,0 +1,92 @@
+"""Multi-layer LSTM via ``lax.scan`` with MXU-friendly batched input matmuls.
+
+TPU design (no cuDNN; reference relies on it at ha/rnn.py:11,39): the
+input projection ``x @ W_ih^T`` for ALL timesteps is computed as one
+large matmul per layer (T*B rows -> MXU saturation); the sequential scan
+then only carries the small ``h @ W_hh^T`` recurrence. Torch gate order
+(i, f, g, o) and parameter naming (``weight_ih_l{k}`` ...) are kept so
+reference checkpoints map 1:1.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from haloop_tpu.nn.core import dropout as dropout_fn, uniform_init
+
+
+def lstm_init(key, input_size, hidden_size, num_layers=1):
+    p = {}
+    bound = 1.0 / math.sqrt(hidden_size)
+    for layer in range(num_layers):
+        in_size = input_size if layer == 0 else hidden_size
+        keys = jax.random.split(jax.random.fold_in(key, layer), 4)
+        p[f"weight_ih_l{layer}"] = uniform_init(keys[0], (4 * hidden_size, in_size), bound)
+        p[f"weight_hh_l{layer}"] = uniform_init(keys[1], (4 * hidden_size, hidden_size), bound)
+        p[f"bias_ih_l{layer}"] = uniform_init(keys[2], (4 * hidden_size,), bound)
+        p[f"bias_hh_l{layer}"] = uniform_init(keys[3], (4 * hidden_size,), bound)
+    return p
+
+
+def lstm_cell(x_proj, h, c, w_hh):
+    """One step given the precomputed input projection (B, 4H)."""
+    gates = x_proj + h @ w_hh.T
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _single_layer(p, layer, x, h0, c0):
+    """x: (T, B, in) -> (T, B, H). One big input matmul + scan over time."""
+    w_ih = p[f"weight_ih_l{layer}"].astype(x.dtype)
+    w_hh = p[f"weight_hh_l{layer}"].astype(x.dtype)
+    bias = (p[f"bias_ih_l{layer}"] + p[f"bias_hh_l{layer}"]).astype(x.dtype)
+    x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
+
+    def step(carry, xp):
+        h, c = carry
+        h, c = lstm_cell(xp, h, c, w_hh)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj)
+    return ys, h, c
+
+
+def multilayer_lstm(p, x, state=None, num_layers=1, hidden_size=None,
+                    dropout=0.0, dropout_key=None, deterministic=True):
+    """Full stack. x: (T, B, in); state: (h, c) each (L, B, H) or None.
+
+    Returns (output (T, B, H), (h, c)). Inter-layer dropout matches torch
+    semantics (applied to all but the last layer's output).
+    """
+    T, B = x.shape[0], x.shape[1]
+    if hidden_size is None:
+        hidden_size = p["weight_hh_l0"].shape[1]
+    if state is None:
+        h0 = jnp.zeros((num_layers, B, hidden_size), x.dtype)
+        c0 = jnp.zeros((num_layers, B, hidden_size), x.dtype)
+    else:
+        h0, c0 = state
+        h0 = h0.astype(x.dtype)
+        c0 = c0.astype(x.dtype)
+
+    hs, cs = [], []
+    out = x
+    for layer in range(num_layers):
+        out, h, c = _single_layer(p, layer, out, h0[layer], c0[layer])
+        hs.append(h)
+        cs.append(c)
+        if dropout > 0.0 and layer < num_layers - 1 and not deterministic:
+            out = dropout_fn(jax.random.fold_in(dropout_key, layer), out,
+                             dropout, deterministic)
+    return out, (jnp.stack(hs), jnp.stack(cs))
+
+
+def lstm(p, x, state=None, **kw):
+    return multilayer_lstm(p, x, state, **kw)

@@ -1,0 +1,205 @@
+"""Fused blockwise (flash) attention as a Pallas TPU kernel.
+
+Replaces the reference's flash-attn CUDA dependency and its in-repo
+blockwise prototype (ha/transformer.py:374-410 ``attend_chunked`` is the
+semantic spec). Design:
+
+  * grid = (batch*heads, q_blocks, k_blocks); the k dimension is the
+    sequential ("arbitrary") axis so Pallas double-buffers K/V block DMAs
+    while the MXU works.
+  * online softmax in fp32 scratch (m, l, acc) that persists across the
+    k-axis grid steps; output written on the last k step.
+  * masking by large-finite negatives (no -inf -> no NaNs; fully masked
+    rows degrade to mean(v), matching standard flash implementations).
+  * causal masking with a KV-cache offset ``t0`` plus per-batch
+    ``kv_lengths`` padding masks — the two patterns models actually use.
+  * backward = recompute with the XLA reference path via custom_vjp
+    (correct everywhere; kernelized backward is a later optimization).
+
+CPU/debug: ``interpret=True`` path exercised by tests; the public entry
+``flash_attention_or_none`` returns None when the pattern is unsupported
+so callers fall back to the materialized reference.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _next_multiple(x, m):
+    return (x + m - 1) // m * m
+
+
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, causal, t0, bq, bk, d, num_k, scale):
+    ki = jax.lax.axis_index if False else None  # (doc: grid ids below)
+    import jax.experimental.pallas as pl
+
+    qi = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row0 = t0 + qi * bq  # absolute position of first query row
+    col0 = kb * bk
+
+    # Skip blocks strictly above the causal diagonal.
+    run = (col0 <= row0 + bq - 1) if causal else True
+
+    @pl.when(run if causal else True)
+    def _body():
+        q = q_ref[0].astype(jnp.float32) * scale           # (bq, d)
+        k = k_ref[0].astype(jnp.float32)                   # (bk, d)
+        qk = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (bq, bk)
+
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        masked = cols >= kvlen_ref[0]
+        if causal:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            masked = masked | (cols > rows)
+        qk = jnp.where(masked, NEG_INF, qk)
+
+        m_prev = m_ref[:]                                   # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        p = jnp.exp(qk - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(kb == num_k - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
+                   bq=128, bk=128):
+    """q: (N, H, T, D); k, v: (N, H, S, D); kv_lengths: (N,) int32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, T, D = q.shape
+    S = k.shape[2]
+    bq = min(bq, _next_multiple(T, 8))
+    bk = min(bk, _next_multiple(S, 128))
+    Tp, Sp, Dp = _next_multiple(T, bq), _next_multiple(S, bk), _next_multiple(D, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
+    qp = qp.reshape(N * H, Tp, Dp)
+    kp = kp.reshape(N * H, Sp, Dp)
+    vp = vp.reshape(N * H, Sp, Dp)
+    kvl = jnp.broadcast_to(kv_lengths[:, None], (N, H)).reshape(N * H)
+
+    num_q, num_k = Tp // bq, Sp // bk
+    scale = 1.0 / math.sqrt(D)
+
+    kernel = functools.partial(
+        _flash_kernel, causal=causal, t0=t0, bq=bq, bk=bk, d=Dp,
+        num_k=num_k, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N * H, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1,), lambda nh, qi, kb: (nh,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
+        ],
+    )
+
+    try:
+        params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    except TypeError:
+        params = pltpu.CompilerParams()
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N * H, Tp, Dp), q.dtype),
+        compiler_params=params,
+        interpret=interpret,
+    )(kvl, qp, kp, vp)
+    return out.reshape(N, H, Tp, Dp)[:, :, :T, :D]
+
+
+def _reference(q, k, v, kv_lengths, causal, t0):
+    d = k.shape[-1]
+    qk = jnp.einsum("nhtd,nhsd->nhts", q, k,
+                    preferred_element_type=jnp.float32) / math.sqrt(d)
+    S, T = k.shape[-2], q.shape[-2]
+    mask = jnp.arange(S)[None, :] >= kv_lengths[:, None]      # (N, S)
+    mask = mask[:, None, None, :]
+    if causal:
+        rows = t0 + jnp.arange(T)[:, None]
+        mask = mask | (jnp.arange(S)[None, :] > rows)
+    qk = jnp.where(mask, NEG_INF, qk)
+    att = jax.nn.softmax(qk, axis=-1)
+    return jnp.einsum("nhts,nhsd->nhtd", att.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, kv_lengths, causal=False, t0=0, interpret=False):
+    """Fused attention. q (N,H,T,D), kv (N,H,S,D), kv_lengths (N,)."""
+    return _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=interpret)
+
+
+def _fwd(q, k, v, kv_lengths, causal, t0, interpret):
+    out = _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=interpret)
+    return out, (q, k, v, kv_lengths)
+
+
+def _bwd(causal, t0, interpret, res, g):
+    q, k, v, kv_lengths = res
+    # Recompute-based backward through the XLA reference path.
+    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, kv_lengths, causal, t0),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def flash_attention_or_none(q, k, v, mask=None):
+    """Adapter used by ops.attention.mha: accept only mask patterns the
+    kernel supports (None); richer callers use ``flash_attention``
+    directly with causal/kv_lengths. Returns None to request fallback."""
+    if mask is not None or not _on_tpu():
+        return None
+    if q.shape[-2] < 128:  # tiny T: XLA fused path is already fine
+        return None
+    N = q.shape[0]
+    kvl = jnp.full((N,), k.shape[-2], jnp.int32)
+    return flash_attention(q, k, v, kvl, False, 0)
