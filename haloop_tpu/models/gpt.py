@@ -1,0 +1,273 @@
+"""GPT language model, nanoGPT-flavored for uk4b checkpoints
+(reference: ha/attention.py).
+
+Parity surface:
+  * GPTConfig fields match ha/init.py:24-39 (incl. stable_embedding,
+    causal, rotary_emb_dim).
+  * learned absolute wpe zero-init, wte scaled 0.02, weight tying
+    wte = lm_head (stored once under lm_head; wte reads it).
+  * forward_all: teacher-forced CE with ignore_index=0 and selectable
+    reduction; forward_context: bidirectional features + cache;
+    forward: last-token logits + KV cache.
+  * rotary_emb_dim > 0 swaps learned positions for interleaved GPT-J
+    RoPE inside attention (replacing the reference's flash-attn MHA
+    dependency) — same q/k rotation as ops/rope.py.
+
+TPU-native decode: fixed-size KV cache (L, 2, B, nh, block_size, hs)
+with a scalar fill level, so every generate step has a static shape and
+compiles once; ``generate`` runs the whole token loop on device via
+``lax.scan`` with temperature/top-k sampling and stop-token masking.
+"""
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from haloop_tpu.nn.core import (
+    dropout, embedding, embedding_init, layer_norm, layer_norm_init,
+    linear, linear_init, new_gelu)
+from haloop_tpu.ops.attention import attend, causal_mask
+from haloop_tpu.ops.rope import rotate_interleaved
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    block_size: int = 1024
+    vocab_size: int = 50304
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    dropout: float = 0.0
+    bias: bool = False
+    stable_embedding: bool = False
+    causal: bool = True
+    d_input: int = 1
+    rotary_emb_dim: int = 0
+
+    def state_dict(self):
+        return dataclasses.asdict(self)
+
+
+def gpt_init(key, cfg: GPTConfig):
+    ks = jax.random.split(key, cfg.n_layer + 4)
+    p = {
+        "transformer": {
+            "wpe": {"weight": jnp.zeros((cfg.block_size, cfg.n_embd))},
+            "h": [_block_init(ks[i], cfg) for i in range(cfg.n_layer)],
+            "ln_f": layer_norm_init(cfg.n_embd, bias=cfg.bias),
+        },
+        # wte is TIED to lm_head; stored once here.
+        "lm_head": {"weight":
+                    jax.random.normal(ks[-1], (cfg.vocab_size, cfg.n_embd))
+                    * 0.02},
+    }
+    if cfg.stable_embedding:
+        p["transformer"]["wte_norm"] = layer_norm_init(cfg.n_embd)
+    return p
+
+
+def _block_init(key, cfg):
+    ks = jax.random.split(key, 4)
+    p = {
+        "ln_1": layer_norm_init(cfg.n_embd, bias=cfg.bias),
+        "attn": {
+            "c_attn": linear_init(ks[0], cfg.n_embd, 3 * cfg.n_embd,
+                                  bias=cfg.bias),
+            "c_proj": linear_init(ks[1], cfg.n_embd, cfg.n_embd,
+                                  bias=cfg.bias),
+        },
+        "ln_2": layer_norm_init(cfg.n_embd, bias=cfg.bias),
+        "mlp": {
+            "c_fc": linear_init(ks[2], cfg.n_embd, 4 * cfg.n_embd,
+                                bias=cfg.bias),
+            "c_proj": linear_init(ks[3], 4 * cfg.n_embd, cfg.n_embd,
+                                  bias=cfg.bias),
+        },
+    }
+    return p
+
+
+def _embed(p, cfg, input_ids, t0, key=None, train=False):
+    tok = embedding(p["lm_head"], input_ids)   # tied wte
+    if cfg.stable_embedding:
+        tok = layer_norm(p["transformer"]["wte_norm"], tok)
+    if cfg.rotary_emb_dim:
+        x = tok
+    else:
+        T = input_ids.shape[-1]
+        pos = t0 + jnp.arange(T)
+        x = tok + embedding(p["transformer"]["wpe"], pos)[None]
+    return dropout(key, x, cfg.dropout, deterministic=not train)
+
+
+def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
+          train=False):
+    """Fused qkv self-attention. past: optional dict with fixed-size
+    cache {"k","v" (B, nh, block, hs), "length" scalar}."""
+    B, T, C = x.shape
+    nh, hs = cfg.n_head, cfg.n_embd // cfg.n_head
+    qkv = linear(p["c_attn"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, nh, hs).swapaxes(1, 2)
+    k = k.reshape(B, T, nh, hs).swapaxes(1, 2)
+    v = v.reshape(B, T, nh, hs).swapaxes(1, 2)
+
+    if cfg.rotary_emb_dim:
+        q = rotate_interleaved(q, t0=t0)
+        k = rotate_interleaved(k, t0=t0)
+
+    if past is None:
+        mask = causal_mask(T, T) if cfg.causal else None
+        y, ent = attend(q, k, v, mask=mask, measure_entropy=measure_entropy)
+        present = (k, v)
+    else:
+        # write the new keys at fill position, attend over the window
+        pk = jax.lax.dynamic_update_slice(
+            past["k"], k, (0, 0, past["length"], 0))
+        pv = jax.lax.dynamic_update_slice(
+            past["v"], v, (0, 0, past["length"], 0))
+        S = pk.shape[-2]
+        total = past["length"] + T
+        valid = jnp.arange(S)[None, :] < total
+        if cfg.causal:
+            rows = past["length"] + jnp.arange(T)[:, None]
+            mask = ~((jnp.arange(S)[None, :] <= rows) & valid[0][None, :])
+        else:
+            mask = ~valid
+            mask = jnp.broadcast_to(mask, (T, S))
+        y, ent = attend(q, pk, pv, mask=mask[None, None],
+                        measure_entropy=measure_entropy)
+        present = {"k": pk, "v": pv, "length": total}
+
+    y = y.swapaxes(1, 2).reshape(B, T, C)
+    y = linear(p["c_proj"], y)
+    y = dropout(key, y, cfg.dropout, deterministic=not train)
+    return y, ent, present
+
+
+def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
+                 key=None, train=False):
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    a, ent, present = _attn(p["attn"], cfg, layer_norm(p["ln_1"], x),
+                            past=past, t0=t0, measure_entropy=measure_entropy,
+                            key=k1, train=train)
+    x = x + a
+    h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x))
+    h = linear(p["mlp"]["c_proj"], new_gelu(h))
+    h = dropout(k2, h, cfg.dropout, deterministic=not train)
+    return x + h, ent, present
+
+
+def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
+           measure_entropy=False):
+    ke = None
+    if key is not None:
+        ke, key = jax.random.split(key)
+    x = _embed(p, cfg, input_ids, t0, key=ke, train=train)
+    presents = []
+    entropies = []
+    for i, block in enumerate(p["transformer"]["h"]):
+        kb = None
+        if key is not None:
+            kb, key = jax.random.split(key)
+        past = past_list[i] if past_list is not None else None
+        x, ent, present = _block_apply(block, cfg, x, past=past, t0=t0,
+                                       measure_entropy=measure_entropy,
+                                       key=kb, train=train)
+        presents.append(present)
+        entropies.append(ent)
+    x = layer_norm(p["transformer"]["ln_f"], x)
+    return x, presents, entropies
+
+
+def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
+                train=False):
+    """Teacher-forced loss over all positions; CE ignore_index=0
+    (reference ha/attention.py:205-232)."""
+    x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train)
+    logits = linear(p["lm_head"], x).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_ids[..., None], axis=-1)[..., 0]
+    valid = target_ids != 0
+    nll = jnp.where(valid, nll, 0.0)
+    if reduction == "mean":
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll                                   # 'none': (B, T)
+
+
+def forward_context(p, cfg, input_ids):
+    """Bidirectional features + present (reference ha/attention.py:234-252)."""
+    x, presents, _ = _trunk(p, cfg, input_ids)
+    return x, presents
+
+
+def lm_logits(p, x):
+    return linear(p["lm_head"], x)
+
+
+def init_cache(cfg, batch, dtype=jnp.float32, size=None):
+    """Fixed-size KV cache pytree (static shapes for jit)."""
+    size = size or cfg.block_size
+    hs = cfg.n_embd // cfg.n_head
+    return [{"k": jnp.zeros((batch, cfg.n_head, size, hs), dtype),
+             "v": jnp.zeros((batch, cfg.n_head, size, hs), dtype),
+             "length": jnp.int32(0)}
+            for _ in range(cfg.n_layer)]
+
+
+def forward(p, cfg, input_ids, past=None):
+    """Last-token logits + updated cache (reference ha/attention.py:254-281)."""
+    t0 = past[0]["length"] if past is not None else 0
+    if past is None:
+        past = init_cache(cfg, input_ids.shape[0])
+    x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
+    logits = linear(p["lm_head"], x[:, -1:, :])
+    return logits, presents
+
+
+def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
+             stop_token=50256, key=None):
+    """On-device autoregressive generation: prefill once, then a
+    ``lax.scan`` over single-token steps against the fixed-size cache
+    (replaces the reference's python streaming loop ha/attention.py:284-325).
+
+    Returns (tokens (B, max_new_tokens), valid mask) — tokens after a
+    stop_token are masked out.
+    """
+    B, T0 = input_ids.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cache = init_cache(cfg, B)
+    logits, cache = forward(p, cfg, input_ids, past=cache)
+
+    def sample(logits, key):
+        logits = logits[:, -1, :] / temperature
+        if top_k is not None and top_k == 1:
+            return jnp.argmax(logits, axis=-1)
+        if top_k is not None:
+            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1)
+
+    k0, key = jax.random.split(key)
+    tok = sample(logits, k0)
+
+    def step(carry, key):
+        tok, cache, alive = carry
+        logits, cache = forward(p, cfg, tok[:, None], past=cache)
+        nxt = sample(logits, key)
+        alive = alive & (tok != stop_token)
+        return (nxt, cache, alive), (tok, alive)
+
+    keys = jax.random.split(key, max_new_tokens)
+    (_, _, _), (tokens, alive) = jax.lax.scan(
+        step, (tok, cache, jnp.ones((B,), bool)), keys)
+    return tokens.swapaxes(0, 1), alive.swapaxes(0, 1)  # (B, steps)

@@ -1,0 +1,127 @@
+"""Recognizer heads implementing the Decodable interface
+(reference: ha/recognizer.py).
+
+TemporalClassifier: dropout(0.2) + Linear CTC head. Loss is the fused
+CTC lattice (fp32) or Star-CTC when ``star_penalty`` is given; greedy
+decode collapses argmax frames fully vectorized on device (no python
+loops over frames).
+
+Transducer: Linear transcription head + 2-layer LSTM prediction network
+with additive joint; loss is the scan-based RNN-T lattice.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from haloop_tpu.nn.core import dropout, linear, linear_init
+from haloop_tpu.ops.ctc import ctc_forward_score, ctc_reduce_mean
+from haloop_tpu.ops.star import star_ctc_forward_score
+from haloop_tpu.ops.transducer import transducer_forward_score
+from haloop_tpu.models import rnn
+
+
+# ----------------------------------------------------- TemporalClassifier
+
+def temporal_classifier_init(key, feat_dim=1024, vocab_size=256):
+    return {"classifier": linear_init(key, feat_dim, vocab_size)}
+
+
+def temporal_classifier_log_probs(p, features, *, key=None, train=False,
+                                  p_drop=0.2):
+    x = dropout(key, features, p_drop, deterministic=not train)
+    x = linear(p["classifier"], x)
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+
+
+def temporal_classifier_loss(p, features, targets, input_lengths=None,
+                             target_lengths=None, star_penalty=None,
+                             key=None, train=False):
+    """Mean CTC (or Star-CTC) loss, computed in fp32 like the reference's
+    autocast(float32) region (ha/recognizer.py:69-82)."""
+    N, T = features.shape[0], features.shape[1]
+    if input_lengths is None:
+        input_lengths = jnp.full((N,), T, jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((N,), targets.shape[-1], jnp.int32)
+    log_probs = temporal_classifier_log_probs(p, features, key=key, train=train)
+    log_probs = jnp.swapaxes(log_probs, 0, 1)      # (T, N, C)
+    if star_penalty is None:
+        losses = ctc_forward_score(log_probs, targets, input_lengths,
+                                   target_lengths)
+    else:
+        losses = star_ctc_forward_score(log_probs, targets, input_lengths,
+                                        target_lengths,
+                                        star_penalty=star_penalty)
+    return ctc_reduce_mean(losses, jnp.maximum(target_lengths, 1)), {}
+
+
+def ctc_collapse(alignments, input_lengths):
+    """Vectorized greedy CTC collapse: drop repeats and blanks.
+
+    alignments: (N, T) argmax frame labels. Returns (hyps (N, T) padded
+    with 0, lengths (N,)). Equivalent to unique_consecutive-minus-blanks
+    (ha/recognizer.py:52-57) but batched on device.
+    """
+    N, T = alignments.shape
+    prev = jnp.pad(alignments, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    valid = jnp.arange(T)[None, :] < input_lengths[:, None]
+    keep = (alignments != prev) & (alignments != 0) & valid
+    pos = jnp.cumsum(keep, axis=1) - 1              # output slot per frame
+    lengths = jnp.max(pos, axis=1) + 1
+    lengths = jnp.maximum(lengths, 0)
+
+    def scatter_row(tokens, pos, keep):
+        out = jnp.zeros((T,), tokens.dtype)
+        idx = jnp.where(keep, pos, T)               # dump dropped frames at T
+        return out.at[idx].set(jnp.where(keep, tokens, 0), mode="drop")
+
+    hyps = jax.vmap(scatter_row)(alignments, pos, keep)
+    return hyps, lengths.astype(jnp.int32)
+
+
+def temporal_classifier_decode(p, features, input_lengths):
+    """Greedy decode. Returns (hyps, lengths, alignments, scores)."""
+    log_probs = temporal_classifier_log_probs(p, features, train=False)
+    scores = jnp.max(log_probs, axis=-1)
+    alignments = jnp.argmax(log_probs, axis=-1)
+    hyps, lengths = ctc_collapse(alignments, input_lengths)
+    return hyps, lengths, alignments, scores
+
+
+# ------------------------------------------------------------- Transducer
+
+def transducer_init(key, feat_dim=1024, vocab_size=256, lm_dim=512,
+                    lm_layers=2):
+    k1, k2 = jax.random.split(key)
+    return {
+        "classifier": linear_init(k1, feat_dim, vocab_size),
+        "lm": rnn.decoder_init(k2, vocab_size, lm_dim, lm_dim, lm_layers),
+    }
+
+
+def transducer_loss(p, features, targets, input_lengths=None,
+                    target_lengths=None, star_penalty=None, key=None,
+                    train=False, lm_layers=2, lm_dim=512, p_drop=0.2):
+    """Additive joint f[:, :, None, :] + g[:, None, :, :] -> log_softmax
+    -> lattice loss; mean over batch (torchaudio rnnt_loss 'mean'
+    semantics at ha/recognizer.py:121-126)."""
+    N, T = features.shape[0], features.shape[1]
+    U = targets.shape[1]
+    if input_lengths is None:
+        input_lengths = jnp.full((N,), T, jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((N,), U, jnp.int32)
+
+    lm_targets = jnp.pad(targets, ((0, 0), (1, 0)))          # blank-started
+    state = rnn.decoder_init_hidden(lm_layers, N, lm_dim)
+    g, _ = rnn.decoder_apply(p["lm"], lm_targets, state, num_layers=lm_layers,
+                             batch_first=True)                # (N, U+1, V)
+
+    x = dropout(key, features, p_drop, deterministic=not train)
+    f = linear(p["classifier"], x)                            # (N, T, V)
+
+    joint = f[:, :, None, :] + g[:, None, :, :]               # (N, T, U+1, V)
+    joint = jax.nn.log_softmax(joint.astype(jnp.float32), axis=-1)
+    losses = transducer_forward_score(joint, targets, input_lengths,
+                                      target_lengths)
+    return jnp.mean(losses), {}

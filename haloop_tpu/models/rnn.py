@@ -1,0 +1,86 @@
+"""LSTM encoder/decoder (reference: ha/rnn.py).
+
+Encoder: Conv1d(k=5, s=4, p=3) subsample -> ReLU -> dropout -> 3-layer
+LSTM(1024, inter-layer dropout 0.2) -> ReLU. The LSTM is the scan-based
+TPU implementation in nn/lstm.py (one big input matmul per layer).
+
+Decoder: LSTM LM with tied embedding/output weights, seq-first and
+batch-first applies, explicit hidden-state carry for TBPTT.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from haloop_tpu.nn.core import conv1d, conv1d_init, dropout, embedding, embedding_init
+from haloop_tpu.nn.lstm import lstm_init, multilayer_lstm
+
+
+# ---------------------------------------------------------------- Encoder
+
+def encoder_init(key, input_dim=13, subsample_dim=128, hidden_dim=1024,
+                 num_layers=3):
+    k1, k2 = jax.random.split(key)
+    return {
+        "subsample": conv1d_init(k1, input_dim, subsample_dim, 5),
+        "lstm": lstm_init(k2, subsample_dim, hidden_dim, num_layers),
+    }
+
+
+def encoder_subsampled_lengths(input_lengths, k=5, s=4, p=3):
+    return jnp.floor((input_lengths + 2 * p - k) / s + 1).astype(jnp.int32)
+
+
+def encoder_apply(p, inputs, input_lengths, *, num_layers=3, p_drop=0.2,
+                  lstm_dropout=0.2, key=None, train=False):
+    """inputs: (N, T, C) -> (features (N, T', H), lengths, stats)."""
+    x = conv1d(p["subsample"], inputs, stride=4, padding=3)
+    x = jax.nn.relu(x)
+    if train and key is not None:
+        kd, key = jax.random.split(key)
+        x = dropout(kd, x, p_drop, deterministic=not train)
+    x = jnp.swapaxes(x, 0, 1)                       # (T', N, C) for scan
+    x, _ = multilayer_lstm(p["lstm"], x, num_layers=num_layers,
+                           dropout=lstm_dropout, dropout_key=key,
+                           deterministic=not train)
+    x = jnp.swapaxes(x, 0, 1)                       # (N, T', H)
+    return jax.nn.relu(x), encoder_subsampled_lengths(input_lengths), {}
+
+
+# ---------------------------------------------------------------- Decoder
+
+def decoder_init(key, vocab_size, emb_dim, hidden_dim, num_layers):
+    k1, k2 = jax.random.split(key)
+    p = {
+        "embedding": embedding_init(k1, vocab_size, emb_dim, std=1.0),
+        "rnn": lstm_init(k2, emb_dim, hidden_dim, num_layers),
+    }
+    # tied: out_layer.weight IS embedding.weight (requires emb_dim == hidden)
+    return p
+
+
+def decoder_init_hidden(num_layers, batch_size, hidden_dim):
+    return (jnp.zeros((num_layers, batch_size, hidden_dim)),
+            jnp.zeros((num_layers, batch_size, hidden_dim)))
+
+
+def decoder_apply(p, input_ids, state, *, num_layers, dropout_rate=0.0,
+                  key=None, train=False, batch_first=False):
+    """LSTM LM forward. input_ids (T, N) or (N, T) if batch_first.
+    Returns (logits over vocab, new state)."""
+    emb_w = p["embedding"]["weight"]
+    ids = jnp.swapaxes(input_ids, 0, 1) if batch_first else input_ids
+    emb = embedding(p["embedding"], ids)            # (T, N, E)
+    out, state = multilayer_lstm(p["rnn"], emb, state, num_layers=num_layers,
+                                 dropout=dropout_rate, dropout_key=key,
+                                 deterministic=not train)
+    logits = out @ emb_w.T.astype(out.dtype)        # tied output projection
+    if batch_first:
+        logits = jnp.swapaxes(logits, 0, 1)
+    return logits, state
+
+
+def truncate_hidden(state):
+    """TBPTT detach (reference ha/rnn.py:75-77): stop gradients flowing
+    into the carried state."""
+    h, c = state
+    return jax.lax.stop_gradient(h), jax.lax.stop_gradient(c)
