@@ -1,0 +1,131 @@
+"""Host-side data pipeline: bucketed padding collator + threaded
+prefetch loader.
+
+Replaces torch DataLoader/worker-processes (ha/loop.py:502-509) with a
+TPU-appropriate design: XLA compiles one program per input shape, so the
+collator pads frame and token axes UP TO BUCKET BOUNDARIES (geometric
+frame buckets, fixed-size token buckets). A background thread keeps the
+next batch ready while the device runs the current step (double
+buffering); with jax dispatch being async, this keeps the TPU busy.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+
+def bucket_length(n, buckets):
+    """Smallest bucket >= n; buckets grow geometrically so the number of
+    compiled programs stays logarithmic in max length."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1] if buckets and n <= buckets[-1] else _round_up(n, 128)
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def default_frame_buckets(max_len=16384):
+    out, b = [], 128
+    while b < max_len:
+        out.append(b)
+        b = _round_up(int(b * 1.5), 128)
+    out.append(_round_up(max_len, 128))
+    return out
+
+
+class Collator:
+    """Pads a list of (index, frames (T, C), text) into fixed bucketed
+    arrays (ha/loop.py:24-41 semantics + bucketing)."""
+
+    def __init__(self, vocab, frame_buckets=None, token_bucket=16):
+        self.vocab = vocab
+        self.frame_buckets = frame_buckets or default_frame_buckets()
+        self.token_bucket = token_bucket
+
+    def __call__(self, batch):
+        indices = np.array([b[0] for b in batch])
+        condtargets = [np.asarray(self.vocab.encode(b[2])) for b in batch]
+
+        input_lengths = np.array([len(b[1]) for b in batch], np.int32)
+        condtarget_lengths = np.array([len(t) for t in condtargets],
+                                      np.int32)
+
+        T = bucket_length(int(input_lengths.max()), self.frame_buckets)
+        U = max(self.token_bucket,
+                _round_up(int(condtarget_lengths.max()), self.token_bucket))
+
+        C = batch[0][1].shape[-1]
+        inputs = np.zeros((len(batch), T, C), np.float32)
+        targets = np.zeros((len(batch), U), np.int64)
+        for i, b in enumerate(batch):
+            inputs[i, :len(b[1])] = b[1]
+            targets[i, :len(condtargets[i])] = condtargets[i]
+        return indices, inputs, targets, input_lengths, condtarget_lengths
+
+
+class DataLoader:
+    """Iterates dataset indices in batches, collates on a worker thread,
+    prefetching `prefetch` batches ahead."""
+
+    def __init__(self, dataset, collate_fn, batch_size=None, shuffle=False,
+                 drop_last=False, batch_sampler=None, seed=0, prefetch=2):
+        self.dataset = dataset
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.batch_sampler = batch_sampler
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def _index_batches(self):
+        if self.batch_sampler is not None:
+            yield from self.batch_sampler
+            return
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(indices)
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i:i + self.batch_size].tolist()
+            if self.drop_last and len(chunk) < self.batch_size:
+                continue
+            yield chunk
+
+    def __len__(self):
+        if self.batch_sampler is not None:
+            return sum(1 for _ in self.batch_sampler)
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for idx_batch in self._index_batches():
+                    items = [self.dataset[i] for i in idx_batch]
+                    q.put(self.collate_fn(items))
+            except BaseException as e:          # surface in consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        self.epoch += 1
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -291,6 +291,10 @@ def create_model(arch: str, compile: bool = True):
         case ['lstm', vocab]:
             enc = EncoderSpec("lstm", hidden_dim=1536, input_dim=80)
             return pair(enc, RecognizerSpec("ctc", int(vocab), 1536))
+        case ['lstm-tiny', vocab]:
+            # small-footprint extension arch for CPU tests/smoke runs
+            enc = EncoderSpec("lstm", hidden_dim=256, input_dim=80)
+            return pair(enc, RecognizerSpec("ctc", int(vocab), 256))
         case ['recognizer', enc_arch, vocab]:
             enc = create_model(enc_arch, compile=False).encoder
             return pair(enc, RecognizerSpec("ctc", int(vocab), 1024))

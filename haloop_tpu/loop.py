@@ -1,0 +1,553 @@
+"""hac — acoustic model training/eval/scoring loop (reference: ha/loop.py).
+
+TPU-native redesign of the reference's CUDA loop:
+  * ONE jitted train step: forward (encoder + recognizer loss), backward,
+    encoder-only grad-norm clip (preserving the reference quirk at
+    ha/loop.py:184), optax update, and NaN/Inf-skip logic — all inside
+    jit via lax.cond. No GradScaler: TPUs train in bf16/fp32, losses are
+    computed fp32 (the fp16+scaler machinery of ha/loop.py:60,176-196
+    has no TPU equivalent by design).
+  * per-bucket compilation: the collator pads to geometric buckets so
+    jax.jit retraces a bounded number of shapes.
+  * decode is the on-device lax.scan greedy loop from models/.
+  * stdout TSV format preserved exactly: 'epoch\\tindex\\thypN\\ttext',
+    ref/aliN/statN rows (ha/loop.py:407-411) — the active-learning loop
+    parses these.
+"""
+
+from collections import Counter, defaultdict
+from itertools import pairwise
+from pathlib import Path
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from haloop_tpu import argparse
+from haloop_tpu import symbol_tape
+from haloop_tpu import wandb_compat as wandb
+from haloop_tpu.align import align, edit_distance
+from haloop_tpu.checkpoint import Checkpointer, load_checkpoint
+from haloop_tpu.data import concat_datasets
+from haloop_tpu.dataloader import Collator, DataLoader
+from haloop_tpu.init import Initializer, create_model, log
+from haloop_tpu.monitor import activation_stats, print_activation_stats
+from haloop_tpu.optim import LR, configure_optimizers
+
+
+def global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree.leaves(tree)))
+
+
+class System:
+    def __init__(self, args, spec, params, vocab):
+        self.args = args
+        self.spec = spec
+        self.params = params
+        self.vocab = vocab
+        self.tx, self.opt_state = configure_optimizers(params, args)
+        self.lr = LR(args)
+        self.key = jax.random.PRNGKey(args.seed)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
+        self._eval_forward = jax.jit(self._forward_impl,
+                                     static_argnames=("train",))
+        self._decode = jax.jit(self._decode_impl,
+                               static_argnames=("max_steps", "train"))
+        self._score_step = jax.jit(self._score_impl)
+
+    # ------------------------------------------------------------ forward
+
+    def _forward_impl(self, params, inputs, condtargets, input_lengths,
+                      condtarget_lengths, key, *, train,
+                      drop_labels=False):
+        k1, k2 = jax.random.split(key)
+        feats, feat_lens, enc_stats = self.spec.encoder.apply(
+            params["encoder"], inputs, input_lengths, train=train,
+            key=k1 if train else None)
+        loss, stats = self.spec.recognizer.loss(
+            params["recognizer"], feats, condtargets, feat_lens,
+            condtarget_lengths, star_penalty=self.args.star_penalty,
+            drop_labels=drop_labels, train=train,
+            key=k2 if train or drop_labels else None)
+        return loss, feats, feat_lens
+
+    def _train_step_impl(self, params, opt_state, inputs, condtargets,
+                         input_lengths, condtarget_lengths, key, step):
+        def loss_fn(p):
+            loss, _, _ = self._forward_impl(
+                p, inputs, condtargets, input_lengths, condtarget_lengths,
+                key, train=True, drop_labels=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        # encoder-only clipping (reference quirk ha/loop.py:183-184)
+        enc_norm = global_norm(grads["encoder"])
+        clip = self.args.clip_grad_norm
+        scale = jnp.minimum(1.0, clip / (enc_norm + 1e-6))
+        grads = {"encoder": jax.tree.map(lambda g: g * scale,
+                                         grads["encoder"]),
+                 "recognizer": grads["recognizer"]}
+
+        bad = ~jnp.isfinite(loss) | ~jnp.isfinite(enc_norm)
+
+        def apply(_):
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        def skip(_):
+            return params, opt_state
+
+        new_params, new_opt = jax.lax.cond(bad, skip, apply, None)
+        return new_params, new_opt, loss, enc_norm, bad
+
+    def _decode_impl(self, params, feats, feat_lens, target_lengths,
+                     prompt=None, *, max_steps, train=False):
+        if self.spec.recognizer.kind == "ctc":
+            return self.spec.recognizer.decode(
+                params["recognizer"], feats, feat_lens, target_lengths)
+        hyp, out_len, log_probs, sum_ent = self.spec.recognizer.decode(
+            params["recognizer"], feats, feat_lens, target_lengths,
+            prompt=prompt, max_steps=max_steps)
+        return hyp, out_len, log_probs, sum_ent
+
+    def _score_impl(self, params, feats, feat_lens, condtargets,
+                    condtarget_lengths):
+        rec = params["recognizer"]
+        from haloop_tpu.models import transformer as TR
+        dec_params = rec["decoder"] if "decoder" in rec else rec
+        loss, _ = TR.decoder_forward(
+            dec_params, self.spec.recognizer.tcfg, feats, condtargets,
+            feat_lens, condtarget_lengths, reduction="sumeach",
+            drop_labels=False, train=False)
+        return loss
+
+    def next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------- train
+
+    def train_one_epoch(self, epoch, global_step, train_loader,
+                        valid_loader):
+        train_loss = 0.0
+        t0 = time.time()
+        local_step = 0
+        accum = 0
+        acc_grads = None
+        args = self.args
+
+        for i, (idxs, inputs, condtargets, input_lengths,
+                condtarget_lengths) in enumerate(train_loader):
+            step_key = self.next_key()
+            if args.accumulate == 1:
+                (self.params, self.opt_state, loss, grad_norm,
+                 bad) = self._train_step(
+                    self.params, self.opt_state, inputs, condtargets,
+                    input_lengths, condtarget_lengths, step_key,
+                    jnp.int32(global_step))
+                loss = float(loss)
+                if bad:
+                    log(f'[{epoch}, {global_step:5d}], loss or grad_norm '
+                        f'is not finite, skipping batch', flush=True)
+                    continue
+            else:
+                # micro-batch gradient accumulation
+                loss, grads = self._micro_grads(
+                    inputs, condtargets, input_lengths, condtarget_lengths,
+                    step_key)
+                loss = float(loss)
+                if not np.isfinite(loss):
+                    log(f'[{epoch}, {global_step:5d}], loss is not finite, '
+                        f'skipping batch', flush=True)
+                    continue
+                acc_grads = grads if acc_grads is None else jax.tree.map(
+                    jnp.add, acc_grads, grads)
+                accum += 1
+                if accum % args.accumulate:
+                    continue
+                self.params, self.opt_state, grad_norm = self._apply_grads(
+                    self.params, self.opt_state, acc_grads)
+                acc_grads = None
+
+            lr = self.lr.get_lr(global_step)
+            global_step += 1
+            local_step += 1
+            grad_norm = float(grad_norm)
+
+            train_loss += loss / args.log_interval
+            if local_step % args.log_interval:
+                continue
+
+            t1 = time.time()
+            log(f'[{epoch}, {global_step:5d}] time: {t1 - t0:.3f} '
+                f'loss: {train_loss:.3f} grad_norm: {grad_norm:.3f} '
+                f'lr: {lr:.5f}', flush=True)
+            wandb.log({'train/loss': train_loss, 'train/grad_norm': grad_norm,
+                       'train/lr': lr, 'iter': global_step})
+            t0 = t1
+            train_loss = 0.0
+
+            if local_step % args.evaluate_every == 0:
+                self.evaluate(epoch, valid_loader, attempts=1)
+
+            if lr == 0 and global_step > 10:
+                log(f'[{epoch}, {global_step:5d}] lr is zero, stopping',
+                    flush=True)
+                break
+
+        return global_step
+
+    def _micro_grads(self, inputs, condtargets, input_lengths,
+                     condtarget_lengths, key):
+        if not hasattr(self, "_grad_fn"):
+            def f(params, inputs, condtargets, il, tl, key):
+                loss, _, _ = self._forward_impl(
+                    params, inputs, condtargets, il, tl, key, train=True,
+                    drop_labels=True)
+                return loss / self.args.accumulate
+            self._grad_fn = jax.jit(jax.value_and_grad(f))
+        return self._grad_fn(self.params, inputs, condtargets,
+                             input_lengths, condtarget_lengths, key)
+
+    def _apply_grads(self, params, opt_state, grads):
+        if not hasattr(self, "_apply_fn"):
+            def f(params, opt_state, grads):
+                enc_norm = global_norm(grads["encoder"])
+                scale = jnp.minimum(
+                    1.0, self.args.clip_grad_norm / (enc_norm + 1e-6))
+                grads = {"encoder": jax.tree.map(lambda g: g * scale,
+                                                 grads["encoder"]),
+                         "recognizer": grads["recognizer"]}
+                updates, new_opt = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt, enc_norm
+            self._apply_fn = jax.jit(f, donate_argnums=(0, 1))
+        return self._apply_fn(params, opt_state, grads)
+
+    # ----------------------------------------------------------- evaluate
+
+    def evaluate(self, epoch, loader, attempts=1, tag='valid',
+                 prompts=[None]):
+        valid_loss = 0.0
+        label_errors = Counter()
+        word_errors = Counter()
+        est_word_errors = Counter()
+        args = self.args
+        i = -1
+
+        for i, (idxs, inputs, condtargets, input_lengths,
+                condtarget_lengths) in enumerate(loader):
+            loss, feats, feat_lens = self._eval_forward(
+                self.params, inputs, condtargets, input_lengths,
+                condtarget_lengths, self.next_key(), train=False)
+            if i == 0 and not args.quiet:
+                stats = activation_stats({'encoder.features': feats})
+                print_activation_stats(stats)
+
+            collected = defaultdict(list)
+            gt_wer = {}
+            max_steps = int(condtargets.shape[1]) + 1
+
+            for prompt in prompts:
+                prompt_tensor = None
+                if prompt is not None:
+                    pid = self.vocab.raw_encode(prompt)
+                    prompt_tensor = np.full((len(input_lengths), 1), pid,
+                                            np.int32)
+                for attempt in range(attempts):
+                    out = self._decode(
+                        self.params, feats, feat_lens, condtarget_lengths,
+                        prompt_tensor, max_steps=max_steps)
+                    hyps, out_lens, log_probs, sum_ents = out
+                    hyps = np.asarray(hyps)
+                    out_lens = np.asarray(out_lens)
+                    log_probs = np.asarray(log_probs)
+                    sum_ents = (np.asarray(sum_ents)
+                                if sum_ents is not None else
+                                np.zeros(len(hyps)))
+
+                    valid_loss += float(loss)
+
+                    for n in range(len(idxs)):
+                        k = int(idxs[n])
+                        le, we, hyp = self.print_example(
+                            k, condtargets[n], int(condtarget_lengths[n]),
+                            hyps[n], int(out_lens[n]), None,
+                            int(feat_lens[n]), float(log_probs[n]),
+                            float(sum_ents[n]), epoch=epoch,
+                            attempt=attempt, prompt=prompt)
+                        label_errors += le
+                        word_errors += we
+                        collected[k].append(hyp)
+                        gt_wer[k] = we['total'] / max(we['length'], 1)
+
+            if attempts > 1:
+                e, est_wer = self.estimate_wer(collected)
+                est_word_errors += e
+                for k in est_wer:
+                    print(epoch, k, f'est-wer: {est_wer[k]:.3f}',
+                          f'gt-wer: {gt_wer[k]:.3f}', sep="\t", flush=True)
+
+        count = i + 1
+        if count == 0:
+            return float('inf')
+        ler = round(label_errors['total'] / max(label_errors['length'], 1), 3)
+        wer = round(word_errors['total'] / max(word_errors['length'], 1), 3)
+        log(f'{tag} [{epoch}, {count:5d}] loss: {valid_loss / count:.3f} '
+            f'ler: {ler:.3f} wer: {wer:.3f}', flush=True)
+        if attempts > 1:
+            est_wer = round(
+                est_word_errors['total'] / max(est_word_errors['length'], 1),
+                3)
+            log(f'{tag} [{epoch}, {count:5d}] estimated-wer: {est_wer:.3f} '
+                f'diff-wer: {wer - est_wer:.3f}', flush=True)
+        if wandb.get_run() is not None:
+            wandb.log({f'{tag}/loss': valid_loss / count, f'{tag}/ler': ler,
+                       f'{tag}/wer': wer})
+        return valid_loss / count
+
+    def estimate_wer(self, hypotheses):
+        """WER estimate from pairwise dropout-hypothesis distances
+        (ha/loop.py:345-357)."""
+        est_word_errors = Counter()
+        est_wer = {}
+        for k in hypotheses:
+            errors, lengths, counts = 0, 0, 0
+            for l, r in pairwise(hypotheses[k]):
+                errors += edit_distance(l, r)['total']
+                lengths += len(r)
+                counts += 1
+            if counts:
+                est_word_errors += Counter({'total': errors / counts,
+                                            'length': lengths / counts})
+                est_wer[k] = errors / max(lengths, 1)
+        return est_word_errors, est_wer
+
+    def print_example(self, dataset_index, ref, ref_len, hyp_, hyp_len,
+                      ali_, feat_len, log_prob, sum_entropy, epoch,
+                      attempt=0, prompt=None):
+        is_ctc = self.spec.recognizer.kind in ("ctc", "transducer")
+        stat = {
+            'log_prob': round(log_prob, 4),
+            'log_prob_per_token': round(log_prob / max(hyp_len, 1), 4),
+            'entropy_per_token': round(-sum_entropy / max(hyp_len, 1), 3),
+            'prompt': prompt,
+        }
+        if is_ctc:
+            hyp = [int(t) for t in hyp_[:hyp_len]]
+        else:
+            hyp = [int(t) for t in hyp_[:max(hyp_len - 1, 0)]]
+        ref = [int(t) for t in np.asarray(ref)[:ref_len]]
+
+        hyp1, hyp_words = self.vocab.decode(hyp)
+        ref1, ref_words = self.vocab.decode(ref)
+
+        dist = edit_distance(hyp1, ref1)
+        dist['length'] = len(ref1)
+        dist['ler'] = round(dist['total'] / max(dist['length'], 1), 2)
+        label_error = Counter(dist)
+        stat |= dist
+
+        word_dist = edit_distance(hyp_words, ref_words)
+        word_dist['length'] = len(ref_words)
+        stat['wer'] = round(word_dist['total'] / max(word_dist['length'], 1),
+                            2)
+        word_error = Counter(word_dist)
+
+        if isinstance(ref1, list):
+            star = '␣'
+            hyp_a, ref_a = zip(*align(hyp1, ref1, star)) if (hyp1 or ref1) \
+                else ((), ())
+            hyp_o, ref_o = list(hyp_a), list(ref_a)
+        elif isinstance(ref1, str):
+            star = '␣'
+            pairs = align(hyp1, ref1, star)
+            hyp_o = ''.join(h for h, _ in pairs)
+            ref_o = ''.join(r for _, r in pairs)
+        else:
+            star = 42
+            pairs = align(list(hyp1), list(ref1), star)
+            hyp_o = bytes(h for h, _ in pairs)
+            ref_o = bytes(r for _, r in pairs)
+
+        if self.args.quiet:
+            return label_error, word_error, hyp_o
+
+        print(epoch, dataset_index, f'hyp{attempt}',
+              self.vocab.format(hyp_o), sep="\t", flush=True)
+        print(epoch, dataset_index, 'ref', self.vocab.format(ref_o),
+              sep="\t", flush=True)
+        print(epoch, dataset_index, f'stat{attempt}',
+              ' '.join(f'{k}={stat[k]}' for k in stat), sep="\t", flush=True)
+        return label_error, word_error, hyp_o
+
+    # -------------------------------------------------------------- score
+
+    def score(self, epoch, loader, tag='score', prompts=["<↑>", "<↓>"],
+              attempts=1):
+        for (idxs, inputs, condtargets1, input_lengths,
+             condtarget_lengths1) in loader:
+            feats, feat_lens, _ = self.spec.encoder.apply(
+                self.params["encoder"], inputs, input_lengths, train=False)
+            for _ in range(attempts):
+                for prompt in prompts:
+                    if prompt is not None:
+                        pid = self.vocab.raw_encode(prompt)
+                        pcol = np.full((len(input_lengths), 1), pid,
+                                       condtargets1.dtype)
+                        condtargets = np.concatenate([pcol, condtargets1], 1)
+                        condtarget_lengths = condtarget_lengths1 + 1
+                    else:
+                        condtargets = condtargets1
+                        condtarget_lengths = condtarget_lengths1
+                    losses = np.asarray(self._score_step(
+                        self.params, feats, feat_lens, condtargets,
+                        condtarget_lengths))
+                    for n in range(len(idxs)):
+                        ref, _ = self.vocab.decode(
+                            [int(t) for t in
+                             condtargets[n][:int(condtarget_lengths[n])]])
+                        print(tag, int(idxs[n]), prompt, float(losses[n]),
+                              self.vocab.format(ref), sep="\t", flush=True)
+
+    # ---------------------------------------------------------- state
+
+    def make_state_dict(self, **extra):
+        return {
+            'encoder': self.params['encoder'],
+            'recognizer': self.params['recognizer'],
+            'optimizer': self.opt_state,
+            'loop_args': vars(self.args),
+        } | extra
+
+    def load_state_dict(self, ckpt):
+        self.params = {
+            'encoder': jax.tree.map(jnp.asarray, ckpt['encoder']),
+            'recognizer': jax.tree.map(jnp.asarray, ckpt['recognizer']),
+        }
+        if 'optimizer' in ckpt and ckpt['optimizer'] is not None:
+            try:
+                self.opt_state = jax.tree.map(
+                    jnp.asarray, ckpt['optimizer'],
+                    is_leaf=lambda x: isinstance(x, np.ndarray))
+            except Exception:
+                log('warning: could not restore optimizer state')
+
+
+def make_parser():
+    parser = argparse.ArgumentParser(formatter_class=argparse.Formatter)
+    Initializer.add_arguments(parser)
+    parser.add_argument('--vocab', type=str, default='ascii',
+                        help="Vocabulary: bytes|ascii|cmu|xen|words.txt")
+    Checkpointer.add_arguments(parser)
+    parser.add_argument('--num-epochs', type=int, default=30)
+    parser.add_argument('--batch-size', type=int, default=48)
+    parser.add_argument('--eval-batch-size', type=int, default=1024)
+    parser.add_argument('--accumulate', type=int, default=1)
+    parser.add_argument('--entropy', action='store_true',
+                        help="Estimate decoder attention entropy (slow)")
+    parser.add_argument('--anomaly', action='store_true',
+                        help="Enable jax NaN debugging")
+    parser.add_argument('--allow-oom', action='store_true')
+    parser.add_argument('--log-interval', type=int, default=100)
+    LR.add_arguments(parser)
+    parser.add_argument('--star-penalty', type=float, default=None,
+                        help="Star penalty for Star CTC")
+    parser.add_argument('--clip-grad-norm', type=float, default=0.1)
+    parser.add_argument('--train', type=str)
+    parser.add_argument('--eval', type=str)
+    parser.add_argument('--evaluate-every', type=int, default=10000)
+    parser.add_argument('--test', type=str, required=False)
+    parser.add_argument('--test-attempts', type=int, default=1)
+    parser.add_argument('--test-spin-prompts', action='store_true')
+    parser.add_argument('--score', type=str, required=False)
+    parser.add_argument('--score-attempts', type=int, default=1)
+    parser.add_argument('--score-spin-prompts', action='store_true')
+    parser.add_argument('--grad-norms', type=str)
+    parser.add_argument('--grad-norms-batch-duration', type=int, default=240)
+    parser.add_argument('-q', '--quiet', action='store_true')
+    parser.add_argument('--wandb', action='store_true')
+    parser.add_argument('--num-workers', type=int, default=1)
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+    log(args)
+
+    if args.anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    vocab = symbol_tape.make_vocab(args.vocab)
+    collator = Collator(vocab)
+
+    valid_loader = test_loader = score_loader = None
+    if args.eval:
+        valid_loader = DataLoader(concat_datasets(args.eval), collator,
+                                  batch_size=args.eval_batch_size)
+    if args.test:
+        test_loader = DataLoader(concat_datasets(args.test), collator,
+                                 batch_size=args.eval_batch_size)
+    if args.score:
+        score_loader = DataLoader(concat_datasets(args.score), collator,
+                                  batch_size=args.eval_batch_size)
+
+    (spec, params), epoch, global_step = Initializer()(args)
+    system = System(args, spec, params, vocab)
+    if args.init:
+        ckpt = load_checkpoint(args.init[0])
+        if 'encoder' in ckpt:
+            system.load_state_dict(ckpt)
+
+    if args.train or args.wandb:
+        wandb.init(project='ha', config=vars(args), name=str(args.exp))
+
+    if args.train:
+        train_loader = DataLoader(concat_datasets(args.train), collator,
+                                  batch_size=args.batch_size, shuffle=True,
+                                  drop_last=True, seed=args.seed)
+        log('total training minibatches:',
+            len(train_loader) * args.num_epochs)
+        checkpoint = Checkpointer(path=args.exp, save=args.save)
+        for epoch in range(epoch, args.num_epochs):
+            global_step = system.train_one_epoch(
+                epoch, global_step, train_loader, valid_loader)
+            valid_loss = system.evaluate(epoch, valid_loader, tag='valid') \
+                if valid_loader else float('inf')
+            checkpoint(loss=valid_loss, epoch=epoch,
+                       checkpoint_fn=lambda: system.make_state_dict(
+                           best_valid_loss=valid_loss, epoch=epoch,
+                           global_step=global_step))
+    elif args.eval:
+        system.evaluate(epoch, valid_loader, tag='valid')
+
+    if args.test:
+        print('testing', epoch, 'attempts', args.test_attempts, flush=True)
+        prompts = ['<↑>', '<↓>'] if args.test_spin_prompts else [None]
+        system.evaluate(epoch, test_loader, attempts=args.test_attempts,
+                        tag='test', prompts=prompts)
+
+    if args.score:
+        print('scoring', epoch, 'attempts', args.score_attempts, flush=True)
+        prompts = ['<↑>', '<↓>'] if args.score_spin_prompts else [None]
+        system.score(epoch, score_loader, tag='score', prompts=prompts,
+                     attempts=args.score_attempts)
+
+    if args.grad_norms:
+        from haloop_tpu.grad_norm import compute_grad_norm
+        from haloop_tpu.sampler import DurationBatchSampler
+        dataset = concat_datasets(args.grad_norms)
+        egl_loader = DataLoader(
+            dataset, collator,
+            batch_sampler=DurationBatchSampler(
+                dataset, args.grad_norms_batch_duration))
+        compute_grad_norm(system, egl_loader)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,136 @@
+"""hap — batch sentence scoring with GPT (reference: ha/score.py).
+
+Prints three columns per sentence: NLL/token, token count (after
+truncation), token count before truncation. ``--verbose`` adds per-token
+pieces via rich.
+
+TPU-native: one jitted ``forward_all(reduction='none')`` per bucketed
+(batch, length) shape; sentences are padded to power-of-two-ish length
+buckets so token-sorted input (the README throughput recipe) compiles a
+handful of programs and then streams at device speed.
+
+Tokenizer: sentencepiece when available (reference behavior); with
+``--bytes`` input is tokenized as raw bytes (ids 0..255) for
+environments without sentencepiece.
+"""
+
+import sys
+from itertools import islice
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haloop_tpu import argparse
+from haloop_tpu.init import load_model, log
+from haloop_tpu.models import gpt as G
+
+
+def batched(iterable, n):
+    if n < 1:
+        raise ValueError('n must be at least one')
+    it = iter(iterable)
+    while batch := tuple(islice(it, n)):
+        yield batch
+
+
+def _bucket(n, minimum=16):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Tok:
+    eos = 50256
+
+
+def make_tokenizer(args):
+    if args.spm:
+        try:
+            import sentencepiece as spm
+        except ImportError:
+            print("sentencepiece is not installed; use --bytes",
+                  file=sys.stderr)
+            raise
+        sp = spm.SentencePieceProcessor(model_file=args.spm)
+        return lambda lines: sp.encode([p.strip() for p in lines]), \
+            sp.id_to_piece
+    if args.bytes:
+        return (lambda lines: [list(p.strip().encode('utf-8'))
+                               for p in lines],
+                lambda t: chr(t) if t < 128 else f'<{t}>')
+    raise SystemExit("pass --spm model or --bytes")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Score sentences with GPT. Prints three columns: '
+                    'negative log likelihood per token, number of tokens '
+                    'and total number of tokens before truncation.',
+        formatter_class=argparse.Formatter)
+    parser.add_argument('--device', type=str, default='tpu')
+    parser.add_argument('--dtype', type=str, default='bfloat16')
+    parser.add_argument('--compile', action='store_true',
+                        help='(jit is always on; kept for parity)')
+    parser.add_argument('--verbose', action='store_true')
+    parser.add_argument('--seed', type=int, default=1337)
+    parser.add_argument('--spm', type=str)
+    parser.add_argument('--bytes', action='store_true',
+                        help='tokenize input as raw bytes (no spm needed)')
+    parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('ckpt_path')
+    args = parser.parse_args()
+
+    spec, params = load_model(args.ckpt_path)
+    cfg = spec.config
+    assert cfg.causal
+    encode, id_to_piece = make_tokenizer(args)
+
+    if args.dtype == 'bfloat16':
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    @jax.jit
+    def score(params, input_ids, target_ids):
+        return G.forward_all(params, cfg, input_ids, target_ids,
+                             reduction='none')
+
+    for i, lines in enumerate(batched(sys.stdin, args.batch_size)):
+        completion_tokens = encode(lines)
+        widest = max(len(p) for p in completion_tokens)
+        if widest >= cfg.block_size:
+            print(f'warning: batch {i} is too wide ({widest}) and will be '
+                  f'truncated', file=sys.stderr)
+        W = min(_bucket(widest), cfg.block_size)
+
+        B = len(completion_tokens)
+        completions = np.zeros((B, W), np.int32)
+        for n, toks in enumerate(completion_tokens):
+            t = toks[:W]
+            completions[n, :len(t)] = t
+
+        input_ids = np.concatenate(
+            [np.full((B, 1), Tok.eos, np.int32), completions[:, :-1]],
+            axis=1)
+
+        nll = np.asarray(score(params, jnp.asarray(input_ids),
+                               jnp.asarray(completions)))
+        for sentence_nll, tokens in zip(nll, completion_tokens):
+            num_tokens = min(cfg.block_size, len(tokens))
+            loss_per_token = float(sentence_nll.sum()) / num_tokens
+            if args.verbose:
+                from rich import print as print_
+                print_(f'{loss_per_token:0.3f}', num_tokens,
+                       ' '.join(f'{id_to_piece(t)} [dim]{l:.02f}[/dim]'
+                                for t, l in zip(tokens,
+                                                sentence_nll.tolist())),
+                       sep='\t', flush=True)
+            else:
+                print(f'{loss_per_token:0.3f}', num_tokens, len(tokens),
+                      sep='\t', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,267 @@
+"""Vocabularies, tokenizers, and symbol tapes (reference: ha/symbol_tape.py).
+
+All host-side, torch-free: token streams are numpy arrays; ``load_u16``
+memory-maps binarized corpora (np.memmap replaces torch ShortStorage).
+"""
+
+import math
+import sys
+from pathlib import Path
+from typing import Protocol
+
+import numpy as np
+
+from haloop_tpu import xen
+
+
+class DictionaryLike(Protocol):
+    def encode(self, text, extend_vocab=False): ...
+    def decode(self, ids): ...
+    def format(self, s) -> str: ...
+    def get_idx(self, string, extend_vocab=False) -> int: ...
+
+
+class Vocabulary(DictionaryLike):
+    def __init__(self, pad_token="·"):
+        self.id_to_string = {0: pad_token}
+        self.string_to_id = {pad_token: 0}
+        self.pad_id = self.unk_id = 0
+
+    def state_dict(self):
+        return {'id_to_string': self.id_to_string, 'pad_id': self.pad_id,
+                'unk_id': self.unk_id}
+
+    def load_state_dict(self, state_dict):
+        self.id_to_string = state_dict['id_to_string']
+        self.string_to_id = {v: k for k, v in self.id_to_string.items()}
+        self.pad_id = state_dict['pad_id']
+        self.unk_id = state_dict['unk_id']
+
+    def __len__(self):
+        return len(self.id_to_string)
+
+    def add_new_word(self, string):
+        self.string_to_id[string] = len(self.string_to_id)
+        self.id_to_string[len(self.id_to_string)] = string
+        return self.string_to_id[string]
+
+    def get_idx(self, string, extend_vocab=False):
+        try:
+            byte = bytes([ord(string)])
+            if byte in self.string_to_id:
+                return self.string_to_id[byte]
+        except (ValueError, TypeError):
+            pass
+        if string in self.string_to_id:
+            return self.string_to_id[string]
+        if extend_vocab:
+            return self.add_new_word(string)
+        return self.unk_id
+
+    def encode(self, text, extend_vocab=False):
+        return np.array([self.get_idx(c, extend_vocab=extend_vocab)
+                         for c in text], dtype=np.int64)
+
+    def decode(self, ids):
+        ids = [int(i) for i in ids]
+        if isinstance(self.id_to_string.get(0), bytes):
+            labels = b''.join(self.id_to_string[i] for i in ids)
+            words = labels.split(b' ')
+        else:
+            labels = ''.join(self.id_to_string[i] for i in ids)
+            words = labels.split(' ')
+        return labels, words
+
+    @classmethod
+    def bytes(cls, n=256):
+        self = cls(pad_token=0)
+        self.id_to_string = {}
+        self.string_to_id = {}
+        for x in range(n):
+            y = self.add_new_word(bytes([x]))
+            assert x == y
+            if x == 0:
+                self.pad_id = x
+            elif x == 7:       # bel
+                self.unk_id = x
+        return self
+
+    @classmethod
+    def ascii(cls):
+        table = ("""ε␁␂␃␄␅␆␇␈␉␤⇥␌␍␎␏␐␑␒␓␔␕␖␗␘␙␚␛␜␝␞␟ !"#$%&'()*+,-./"""
+                 """0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`"""
+                 """abcdefghijklmnopqrstuvwxyz{|}~␡""")
+        self = cls(pad_token=0)
+        self.id_to_string = {}
+        self.string_to_id = {}
+        for i, x in enumerate(table):
+            y = self.add_new_word(x)
+            assert y == i
+            if i == 0:
+                self.pad_id = x
+            elif i == 7:
+                self.unk_id = x
+        return self
+
+    def format(self, s):
+        if isinstance(s, bytes):
+            try:
+                s = s.decode('utf-8')
+            except UnicodeDecodeError:
+                pass
+        return s
+
+
+class WordVocabulary(Vocabulary):
+    """One id per word/BPE piece, with spin-prompt normalization
+    (<↑>/<↓>/<?>/<s> merging rules, ha/symbol_tape.py:131-187)."""
+
+    def __init__(self):
+        self.id_to_string = {}
+        self.string_to_id = {}
+        self.pad_id = self.unk_id = 0
+
+    def get_idx(self, string, extend_vocab=False):
+        if string in self.string_to_id:
+            return self.string_to_id[string]
+        if extend_vocab:
+            return self.add_new_word(string)
+        return self.pad_id
+
+    def _padd(self, prompts):
+        match prompts:
+            case []:
+                return []
+            case [s]:
+                return [s]
+            case ["<↓>", _] | [_, "<↓>"]:
+                return ["<↓>"]
+            case ["<?>", _] | [_, "<?>"]:
+                return ["<?>"]
+            case ["<↑>", "<↑>"]:
+                return ["<↑>"]
+        raise AssertionError(prompts)
+
+    def _prompt_and_tokens(self, seq):
+        prompts, tokens = [], []
+        for s in seq:
+            (prompts if s in ('<↓>', '<s>', '<↑>') else tokens).append(s)
+        return prompts, tokens
+
+    def raw_encode(self, tok):
+        return self.get_idx(tok, extend_vocab=False)
+
+    def encode(self, text, extend_vocab=False):
+        prompts, tokens = self._prompt_and_tokens(text.split())
+        seq = self._padd(prompts) + tokens
+        return np.array([self.get_idx(t, extend_vocab=extend_vocab)
+                         for t in seq], dtype=np.int64)
+
+    def decode(self, ids):
+        labels = [self.id_to_string[int(i)] for i in ids]
+        return labels, ''.join(labels).lstrip('▁').split('▁')
+
+    def format(self, s):
+        return ' '.join(s)
+
+
+def tokenize_bytes(text_file, vocab, extend_vocab=False):
+    if vocab is None:
+        vocab = Vocabulary.bytes()
+    print(f"Reading bytes from: {text_file}", file=sys.stderr)
+    with open(text_file, 'rb') as f:
+        data = np.frombuffer(f.read(), dtype=np.uint8).copy()
+    return data, vocab
+
+
+def load_u16(filename):
+    data = np.memmap(filename, dtype=np.uint16, mode='r')
+    print(f"Memory mapping u16 from: {filename}, shape: {data.shape}",
+          file=sys.stderr)
+    return data
+
+
+def tokenize_chars(text_file, vocab, extend_vocab=True):
+    if vocab is None:
+        vocab = Vocabulary()
+    full_text = []
+    print(f"Reading text file from: {text_file}", file=sys.stderr)
+    with open(text_file) as f:
+        for line in f:
+            for ch in line:
+                full_text.append(vocab.get_idx(ch, extend_vocab=extend_vocab))
+    return np.array(full_text, dtype=np.int16), vocab
+
+
+def tokenize_words(text_file, vocab, extend_vocab=True):
+    if vocab is None:
+        vocab = WordVocabulary()
+    full_text = []
+    print(f"Using word vocabulary from first column of: {text_file}",
+          file=sys.stderr)
+    with open(text_file) as f:
+        for line in f:
+            token = line.strip().split(maxsplit=1)[0]
+            full_text.append(vocab.get_idx(token, extend_vocab=extend_vocab))
+    samples = min(32, len(vocab))
+    print(f"Vocabulary size {len(vocab)}, samples:",
+          ' '.join(vocab.id_to_string[i] for i in range(samples)), '...',
+          file=sys.stderr)
+    return np.array(full_text, dtype=np.int32), vocab
+
+
+class SymbolTapeNoPad:
+    """Split one long token stream into batch_size parallel tapes of
+    bptt_len chunks (ha/symbol_tape.py:239-279 semantics, incl. the
+    one-token pad at the start of tape 0)."""
+
+    def __init__(self, data, batch_size, bptt_len):
+        self.batch_size = batch_size
+        self.bptt_len = bptt_len
+        self.tape_len = math.ceil(len(data) / batch_size)
+        self.tape_parts, self.trailing_tokens = divmod(self.tape_len,
+                                                       bptt_len)
+        self.data = data
+        self.pad_value = 0
+
+    def __len__(self):
+        return self.tape_parts + int(bool(self.trailing_tokens))
+
+    def __getitem__(self, i):
+        length = (self.trailing_tokens if i == self.tape_parts
+                  else self.bptt_len)
+        batch = np.full((length, self.batch_size), self.pad_value,
+                        dtype=np.asarray(self.data).dtype)
+        for tape_index in range(self.batch_size):
+            offset = tape_index * (self.tape_len - 1)
+            part = self.data[offset + i * self.bptt_len:
+                             offset + i * self.bptt_len + length]
+            batch[:len(part), tape_index] = part
+        return batch
+
+
+def make_vocab(vocab_descriptor):
+    "Possible values: bytes|ascii|cmu|xen|words:path/to/words.txt|path/to/words.txt"
+    match vocab_descriptor.split(':', maxsplit=1):
+        case ["bytes"]:
+            return Vocabulary.bytes()
+        case ["ascii"]:
+            return Vocabulary.ascii()
+        case ["cmu"]:
+            return xen.Vocabulary(add_closures=False)
+        case ["xen"]:
+            return xen.Vocabulary(add_closures=True)
+        case ["words", path]:
+            _, vocab = tokenize_words(path, None)
+            return vocab
+        case ["512"]:
+            vocab = WordVocabulary()
+            for word in range(512):
+                vocab.get_idx(str(word), extend_vocab=True)
+            return vocab
+        case [path]:
+            _, vocab = tokenize_words(path, None)
+            return vocab
+        case _:
+            raise ValueError("Unknown vocabulary descriptor. "
+                             + make_vocab.__doc__)
