@@ -1,0 +1,78 @@
+"""Benchmark: hac LSTM-CTC training throughput (utterances/sec) on one
+chip — the BASELINE.md headline metric.
+
+Measures the full jitted train step of the ``lstm:512`` production arch
+(fbank(80) -> Conv1d subsample -> 3x LSTM(1536) -> CTC) on
+LibriSpeech-shaped synthetic batches: batch 48, 12s utterances
+(1200 frames), ~40 BPE targets. Prints ONE JSON line.
+
+vs_baseline: ratio against 40 utt/sec — our estimate of single-A100
+throughput for this exact config with the reference stack (torch
+fp16 + cuDNN LSTM; an A100 runs this model at roughly 1.0-1.2 s/step at
+batch 48). The reference publishes no numbers (BASELINE.md), so this
+anchor is an engineering estimate, stated here for transparency; the
+target from BASELINE.json is >= 5x that anchor (vs_baseline >= 5).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_ESTIMATE_UTT_PER_SEC = 40.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from haloop_tpu.init import create_model
+    from haloop_tpu.loop import System, make_parser
+
+    args = make_parser().parse_args([
+        '--arch', 'lstm:512', '--vocab', '512', '--lr', '3e-4'])
+    spec = create_model(args.arch)
+    params = spec.init(jax.random.PRNGKey(0))
+
+    from haloop_tpu.symbol_tape import make_vocab
+    system = System(args, spec, params, make_vocab('512'))
+
+    B, T, U = 48, 1200, 40
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(4, 512, size=(B, U)).astype(np.int64))
+    input_lengths = jnp.asarray(
+        np.clip(rng.integers(T // 2, T + 1, B), 1, T).astype(np.int32))
+    target_lengths = jnp.asarray(
+        np.clip(rng.integers(U // 2, U + 1, B), 1, U).astype(np.int32))
+
+    def step(i):
+        key = system.next_key()
+        (system.params, system.opt_state, loss, gn, bad) = \
+            system._train_step(system.params, system.opt_state, inputs,
+                               targets, input_lengths, target_lengths, key,
+                               jnp.int32(i))
+        return loss
+
+    # warmup + compile
+    step(0)
+    jax.block_until_ready(system.params)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        loss = step(i)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "hac lstm:512 CTC train throughput (B=48, 12s utts)",
+        "value": round(utt_per_sec, 2),
+        "unit": "utt/sec",
+        "vs_baseline": round(utt_per_sec / A100_ESTIMATE_UTT_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

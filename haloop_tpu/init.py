@@ -262,6 +262,11 @@ def create_model(arch: str, compile: bool = True):
                                             vocab_size=_digits(vocab)))
         case ['encoder']:
             return GPTModel(arch, GPTConfig(block_size=128, causal=False))
+        case ['gpt-nano', vocab, block]:
+            # small-footprint extension arch for CPU tests/smoke runs
+            return GPTModel(arch, GPTConfig(
+                block_size=int(block), vocab_size=_digits(vocab),
+                n_layer=2, n_head=2, n_embd=64))
         case ['lstm']:
             return EncoderOnlyModel(arch, EncoderSpec("lstm", input_dim=13))
         case ['rnnlm']:

@@ -110,7 +110,11 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
     cache {"k","v" (B, nh, block, hs), "length" scalar}."""
     B, T, C = x.shape
     nh, hs = cfg.n_head, cfg.n_embd // cfg.n_head
-    qkv = linear(p["c_attn"], x)
+    if "lora_A" in p["c_attn"]:
+        from haloop_tpu.models.lora import lora_linear
+        qkv = lora_linear(p["c_attn"], x, key=key, train=train)
+    else:
+        qkv = linear(p["c_attn"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, T, nh, hs).swapaxes(1, 2)
     k = k.reshape(B, T, nh, hs).swapaxes(1, 2)

@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers — the TPU-native replacement for the
+reference's DDP/NCCL path (SURVEY.md §5.8; ha/attention_loop.py:67-80).
+
+Design: SPMD over a ``jax.sharding.Mesh``. Data parallelism shards the
+leading batch axis with a NamedSharding over the 'data' axis; parameters
+are replicated (or sharded over 'model' for tensor parallelism — see
+parallel/tensor.py). Gradients are averaged by XLA-inserted collectives
+when the jitted step consumes sharded batches and produces replicated
+params — no hand-written allreduce, no no_sync() micro-batch tricks
+(accumulate locally, reduce once is the natural consequence of jit).
+
+Multi-host: ``jax.distributed.initialize`` + ``jax.process_index() == 0``
+replaces RANK env rendezvous and rank-0 gating.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes=None):
+    """Build a mesh over all visible devices. axes: dict name->size, e.g.
+    {'data': 4, 'model': 2}; None = 1-D 'data' mesh over everything."""
+    devices = np.array(jax.devices())
+    if axes is None:
+        return Mesh(devices, ('data',))
+    names = tuple(axes.keys())
+    shape = tuple(axes.values())
+    return Mesh(devices.reshape(shape), names)
+
+
+def data_mesh():
+    return make_mesh()
+
+
+def shard_batch(mesh, batch, axis='data'):
+    """Place host arrays with the leading dim sharded over `axis`."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding)
+        if getattr(x, 'ndim', 0) >= 1 else x, batch)
+
+
+def replicate(mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_master():
+    return jax.process_index() == 0

@@ -1,0 +1,151 @@
+"""hat — GPT REPL (reference: ha/attention.py:328-424).
+
+Interactive prompt with readline history/vi-binding, sentencepiece
+tokenization, streaming causal generation (or bidirectional __-mask
+infill via forward_context for non-causal models), and tokens/sec
+timing on stderr.
+
+TPU-native: generation runs as single-token jitted steps against a
+fixed-size KV cache (one compile, then device-speed steps); the infill
+path is one jitted forward_context call.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haloop_tpu import argparse
+from haloop_tpu.init import load_model, log
+from haloop_tpu.models import gpt as G
+
+
+class Tok:
+    unk = 50254
+    eos = 50256
+    mask = 21503
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Attention REPL',
+                                     formatter_class=argparse.Formatter)
+    parser.add_argument('--device', type=str, default='tpu')
+    parser.add_argument('--dtype', type=str, default='bfloat16')
+    parser.add_argument('--seed', type=int, default=1337)
+    parser.add_argument('--spm', type=str, required=True)
+    parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument('--top-k', type=int, default=1)
+    parser.add_argument('--temperature', type=float, default=1.0)
+    parser.add_argument('--histfile', type=str, default='hat-history')
+    parser.add_argument('ckpt_path')
+    args = parser.parse_args()
+
+    try:
+        import gnureadline as readline
+    except ImportError:
+        import readline
+    try:
+        import sentencepiece as spm
+    except ImportError:
+        print("Please install sentencepiece", file=sys.stderr)
+        raise
+
+    readline.parse_and_bind('bind -v')
+    histfile = args.histfile
+    try:
+        readline.read_history_file(histfile)
+    except (FileNotFoundError, OSError):
+        print('Creating history file:', histfile, file=sys.stderr)
+        readline.write_history_file(histfile)
+    history_len = readline.get_current_history_length()
+
+    spec, params = load_model(args.ckpt_path)
+    cfg = spec.config
+    print('Loaded model:', cfg, file=sys.stderr)
+    if not cfg.causal:
+        print('This model is bidirectional: treating __ as mask token',
+              file=sys.stderr)
+
+    if args.dtype == 'bfloat16':
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    sp = spm.SentencePieceProcessor(model_file=args.spm)
+    key = jax.random.PRNGKey(args.seed)
+
+    # jitted single-token step with a fixed-size cache
+    @jax.jit
+    def prefill(params, ids, cache):
+        return G.forward(params, cfg, ids, past=cache)
+
+    @jax.jit
+    def step(params, tok, cache):
+        return G.forward(params, cfg, tok[:, None], past=cache)
+
+    @jax.jit
+    def infill(params, ids):
+        x, _ = G.forward_context(params, cfg, ids)
+        return jnp.argmax(G.lm_logits(params, x), axis=-1)
+
+    def sample(logits, k):
+        logits = logits[:, -1, :].astype(jnp.float32) / args.temperature
+        if args.top_k == 1:
+            return jnp.argmax(logits, axis=-1)
+        kth = jnp.sort(logits, axis=-1)[:, -args.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(k, logits, axis=-1)
+
+    while True:
+        try:
+            prompt = input('>- ')
+        except EOFError:
+            break
+
+        if not cfg.causal:
+            start = sp.encode(prompt)
+            start = [s if s != Tok.mask else Tok.unk for s in start]
+            if not start:
+                continue
+        else:
+            start = [Tok.eos] + sp.encode(prompt)
+
+        readline.add_history(prompt)
+        x = jnp.asarray(np.array(start, np.int32))[None]
+        t0 = time.time()
+        i = 0
+
+        if not cfg.causal:
+            token_ids = np.asarray(infill(params, x))[0]
+            print(sp.decode(token_ids.tolist()))
+            i = len(start)
+        else:
+            cache = G.init_cache(cfg, 1, dtype=jnp.bfloat16
+                                 if args.dtype == 'bfloat16'
+                                 else jnp.float32)
+            logits, cache = prefill(params, x, cache)
+            for i in range(args.steps):
+                key, k = jax.random.split(key)
+                tok = sample(logits, k)
+                tid = int(tok[0])
+                if tid == Tok.eos:
+                    break
+                piece = sp.id_to_piece(tid)
+                if piece.startswith('▁'):
+                    print(' ', end='')
+                    piece = piece[1:]
+                print(piece, end='', flush=True)
+                logits, cache = step(params, tok.astype(jnp.int32), cache)
+            print()
+
+        t1 = time.time()
+        print(f' ({i+1} tokens in {t1-t0:.2f}s)', file=sys.stderr)
+
+    readline.append_history_file(
+        readline.get_current_history_length() - history_len, histfile)
+
+
+if __name__ == '__main__':
+    main()

@@ -47,7 +47,8 @@ class Vocabulary(DictionaryLike):
 
     def get_idx(self, string, extend_vocab=False):
         try:
-            byte = bytes([ord(string)])
+            byte = bytes([string if isinstance(string, int)
+                          else ord(string)])
             if byte in self.string_to_id:
                 return self.string_to_id[byte]
         except (ValueError, TypeError):

@@ -1,0 +1,96 @@
+"""End-to-end smoke: the hac System trains on synthetic sinusoids and
+the loss drops substantially (the full WER->0 convergence was verified
+offline: lstm-tiny:512 on head:sinusoids0 reaches loss 0.000 / wer 0.000
+by ~epoch 1900 at lr 3e-3; this bounded test checks the same trajectory
+starts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haloop_tpu.dataloader import Collator, DataLoader
+from haloop_tpu.data import make_dataset
+from haloop_tpu.init import create_model
+from haloop_tpu.loop import System, make_parser
+from haloop_tpu.symbol_tape import make_vocab
+
+
+def test_hac_loss_decreases():
+    args = make_parser().parse_args([
+        '--arch', 'lstm-tiny:512', '--vocab', '512', '--lr', '3e-3',
+        '--lr_schedule', 'const', '--clip-grad-norm', '10'])
+    vocab = make_vocab('512')
+    spec = create_model(args.arch)
+    params = spec.init(jax.random.PRNGKey(0))
+    system = System(args, spec, params, vocab)
+
+    ds = make_dataset('head:sinusoids0')
+    idxs, inputs, ct, il, tl = Collator(vocab)([ds[i] for i in range(8)])
+
+    first = None
+    for step in range(30):
+        key = system.next_key()
+        (system.params, system.opt_state, loss, gn, bad) = \
+            system._train_step(system.params, system.opt_state, inputs, ct,
+                               il, tl, key, jnp.int32(step))
+        if step == 0:
+            first = float(loss)
+    last = float(loss)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first / 3, (first, last)
+
+
+def test_hac_evaluate_decodes(capsys):
+    args = make_parser().parse_args([
+        '--arch', 'lstm-tiny:512', '--vocab', '512'])
+    vocab = make_vocab('512')
+    spec = create_model(args.arch)
+    params = spec.init(jax.random.PRNGKey(0))
+    system = System(args, spec, params, vocab)
+
+    loader = DataLoader(make_dataset('head:sinusoids0'), Collator(vocab),
+                        batch_size=8)
+    loss = system.evaluate(0, loader, tag='valid')
+    out = capsys.readouterr().out
+    assert '\thyp0\t' in out
+    assert '\tref\t' in out
+    assert '\tstat0\t' in out
+    assert np.isfinite(loss)
+
+
+def test_gpt_train_step_runs():
+    """hala-style accumulate-inside-jit step on a nano GPT."""
+    import optax
+    from haloop_tpu.attention_loop import make_train_step, make_parser as mp
+    from haloop_tpu.models import gpt as G
+    from haloop_tpu.optim import decay_mask
+
+    args = mp().parse_args(['--train', 'x', '--block_size', '32',
+                            '--batch_size', '2',
+                            '--gradient_accumulation_steps', '2',
+                            '--dtype', 'float32'])
+    cfg = G.GPTConfig(block_size=32, vocab_size=64, n_layer=1, n_head=2,
+                      n_embd=16)
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3, mask=decay_mask)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, args, tx, jnp.float32, False)
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.integers(1, 64, (2, 2, 32)))
+    Y = jnp.asarray(rng.integers(1, 64, (2, 2, 32)))
+    params, opt_state, loss, gnorm = step(params, opt_state, X, Y,
+                                          jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+
+
+def test_graft_entry_dryrun():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__
+    n = min(len(jax.devices()), 8)
+    if n < 2:
+        import pytest
+        pytest.skip("needs multiple devices")
+    __graft_entry__.dryrun_multichip(n)
