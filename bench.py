@@ -54,15 +54,17 @@ def main():
                                jnp.int32(i))
         return loss
 
-    # warmup + compile
-    step(0)
-    jax.block_until_ready(system.params)
+    # warmup + compile; the float() fetch forces real synchronization
+    # (on the axon remote backend block_until_ready returns early, so
+    # timing must end with a value fetch)
+    float(step(0))
 
     iters = 10
     t0 = time.perf_counter()
+    loss = None
     for i in range(1, iters + 1):
         loss = step(i)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     utt_per_sec = B * iters / dt

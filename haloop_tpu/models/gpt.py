@@ -125,8 +125,9 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
         k = rotate_interleaved(k, t0=t0)
 
     if past is None:
-        mask = causal_mask(T, T) if cfg.causal else None
-        y, ent = attend(q, k, v, mask=mask, measure_entropy=measure_entropy)
+        from haloop_tpu.ops.attention import mha
+        y, ent = mha(q, k, v, causal=cfg.causal,
+                     measure_entropy=measure_entropy)
         present = (k, v)
     else:
         # write the new keys at fill position, attend over the window

@@ -76,18 +76,19 @@ def _merge_heads(x):
 
 
 def mha_apply(p, x, memory, *, heads, mask=None, causal=False,
-              measure_entropy=False, rope=False, t0=0, key=None,
-              train=False, p_drop=0.0):
-    """Full (non-cached) attention: q from x, k/v from memory."""
+              kv_lengths=None, measure_entropy=False, rope=False, t0=0,
+              key=None, train=False, p_drop=0.0):
+    """Full (non-cached) attention: q from x, k/v from memory. Semantic
+    masking (causal / kv_lengths) routes to the fused flash kernel."""
+    from haloop_tpu.ops.attention import mha
     q = _split_heads(linear(p["q"], x), heads)
     k = _split_heads(linear(p["k"], memory), heads)
     v = _split_heads(linear(p["v"], memory), heads)
     if rope:
         q = rotate_interleaved(q, t0=t0)
         k = rotate_interleaved(k)
-    if causal and mask is None:
-        mask = causal_mask(q.shape[-2], k.shape[-2], t0=t0)
-    y, ent = attend(q, k, v, mask=mask, measure_entropy=measure_entropy)
+    y, ent = mha(q, k, v, mask=mask, causal=causal, t0=t0,
+                 kv_lengths=kv_lengths, measure_entropy=measure_entropy)
     y = linear(p["proj"], _merge_heads(y))
     y = dropout(key, y, p_drop, deterministic=not train)
     return y, ent
@@ -133,11 +134,9 @@ def block_apply(p, x, *, heads, time_mask=None, causal=False, memory=None,
     x_norm = layer_norm(p["ln_time"], x)
 
     if "mix_memory" in p:
-        S = memory.shape[-2]
-        memory_mask = (jnp.arange(S)[None, :] >=
-                       memory_lengths[:, None])[:, None, None, :]
         m, m_ent = mha_apply(p["mix_memory"], x_norm, memory, heads=heads,
-                             mask=memory_mask, measure_entropy=measure_entropy,
+                             kv_lengths=memory_lengths,
+                             measure_entropy=measure_entropy,
                              key=keys[0], train=train, p_drop=p_drop)
         x = x + m
     else:

@@ -44,20 +44,39 @@ def causal_mask(T, S, t0=0):
     return cols > rows
 
 
-def mha(q, k, v, mask=None, causal=False, t0=0, measure_entropy=False,
-        use_flash="auto"):
+def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
+        measure_entropy=False, use_flash="auto"):
     """Dispatching attention entry point used by all models.
 
-    On TPU, non-entropy calls route to the fused Pallas flash kernel
-    (ops/flash.py) when shapes allow; otherwise the fused-by-XLA reference
-    path runs (still one HBM round trip on short sequences).
+    Prefer expressing masking semantically: ``causal`` (+ cache offset
+    ``t0``) and per-batch ``kv_lengths`` — these route to the fused
+    Pallas flash kernel on TPU. An explicit ``mask`` tensor (or entropy
+    measurement) falls back to the materialized XLA path.
     """
     T, S = q.shape[-2], k.shape[-2]
-    if causal and mask is None:
-        mask = causal_mask(T, S, t0=t0)
-    if not measure_entropy and use_flash != "never":
-        from haloop_tpu.ops.flash import flash_attention_or_none
-        out = flash_attention_or_none(q, k, v, mask=mask)
-        if out is not None:
-            return out, jnp.float32(-jnp.inf)
+    if (mask is None and not measure_entropy and use_flash != "never"
+            and _flash_worthwhile(q, k)):
+        from haloop_tpu.ops.flash import flash_attention
+        if kv_lengths is None:
+            kv_lengths = jnp.full((q.shape[0],), S, jnp.int32)
+        out = flash_attention(q, k, v, kv_lengths.astype(jnp.int32),
+                              causal, t0)
+        return out, jnp.float32(-jnp.inf)
+    if kv_lengths is not None:
+        pad = (jnp.arange(S)[None, :] >=
+               kv_lengths[:, None])[:, None, None, :]
+        mask = pad if mask is None else (mask | pad)
+    if causal:
+        cmask = causal_mask(T, S, t0=t0)
+        mask = cmask if mask is None else (mask | cmask)
     return attend(q, k, v, mask=mask, measure_entropy=measure_entropy)
+
+
+def _flash_worthwhile(q, k):
+    """Use the Pallas kernel only on TPU and for long-enough sequences
+    (short ones are faster through plain XLA fusion)."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and q.shape[-2] >= 256 and k.shape[-2] >= 256
