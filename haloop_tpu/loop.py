@@ -66,9 +66,19 @@ class System:
                       condtarget_lengths, key, *, train,
                       drop_labels=False):
         k1, k2 = jax.random.split(key)
+        enc_params = params["encoder"]
+        if self.args.dtype == "bfloat16":
+            # bf16 encoder compute with fp32 master params (the TPU
+            # equivalent of the reference's fp16 autocast, ha/loop.py:121)
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            enc_params = cast(enc_params)
+            inputs = inputs.astype(jnp.bfloat16)
         feats, feat_lens, enc_stats = self.spec.encoder.apply(
-            params["encoder"], inputs, input_lengths, train=train,
+            enc_params, inputs, input_lengths, train=train,
             key=k1 if train else None)
+        feats = feats.astype(jnp.float32)
         loss, stats = self.spec.recognizer.loss(
             params["recognizer"], feats, condtargets, feat_lens,
             condtarget_lengths, star_penalty=self.args.star_penalty,
@@ -473,6 +483,9 @@ def make_parser():
     parser.add_argument('-q', '--quiet', action='store_true')
     parser.add_argument('--wandb', action='store_true')
     parser.add_argument('--num-workers', type=int, default=1)
+    parser.add_argument('--dtype', type=str, default='bfloat16',
+                        choices=['float32', 'bfloat16'],
+                        help="encoder compute dtype (losses stay fp32)")
     return parser
 
 

@@ -19,8 +19,7 @@ def _conv3x3_init(key, cin, cout, std):
 def _conv3x3(p, x, stride=1):
     return jax.lax.conv_general_dilated(
         x, p["weight"].astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _block_init(key, inplanes, planes, num_layers, stride=1):

@@ -86,8 +86,7 @@ def conv1d(p, x, stride=1, padding=0, groups=1):
         window_strides=(stride,), padding=[pad],
         dimension_numbers=("NWC", "OIW", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y
