@@ -8,8 +8,41 @@ same keys kaldialign produces.
 """
 
 
+def _intern(a, b):
+    """Map arbitrary hashable tokens of both sequences to int32 ids."""
+    import numpy as np
+    table = {}
+    def ids(seq):
+        out = np.empty(len(seq), np.int32)
+        for i, t in enumerate(seq):
+            out[i] = table.setdefault(t, len(table))
+        return out
+    return ids(a), ids(b)
+
+
 def edit_distance(a, b):
-    """dict with ins/del/sub/total like kaldialign.edit_distance."""
+    """dict with ins/del/sub/total like kaldialign.edit_distance.
+
+    Uses the native C kernel (haloop_tpu/native/levenshtein.c) when
+    available; pure-python fallback below is identical."""
+    from haloop_tpu.native import library
+    lib = library()
+    if lib is not None and (len(a) + len(b)) > 64:
+        import ctypes
+        import numpy as np
+        ia, ib = _intern(a, b)
+        out = np.zeros(4, np.int32)
+        rc = lib.edit_distance_i32(
+            ia.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ia),
+            ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ib),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc == 0:
+            return {'ins': int(out[1]), 'del': int(out[2]),
+                    'sub': int(out[3]), 'total': int(out[0])}
+    return _edit_distance_py(a, b)
+
+
+def _edit_distance_py(a, b):
     m, n = len(a), len(b)
     # dp over (cost, ins, dels, subs)
     prev = [(j, j, 0, 0) for j in range(n + 1)]
@@ -34,7 +67,29 @@ def edit_distance(a, b):
 
 def align(a, b, gap):
     """Minimal-edit alignment of two sequences; (gap, y) = insertion,
-    (x, gap) = deletion. Mirrors kaldialign.align output ordering."""
+    (x, gap) = deletion. Mirrors kaldialign.align output ordering.
+    Native C backtrace when available."""
+    from haloop_tpu.native import library
+    lib = library()
+    if lib is not None and (len(a) + len(b)) > 64:
+        import ctypes
+        import numpy as np
+        ia, ib = _intern(a, b)
+        ops_a = np.zeros(len(a) + len(b) + 1, np.int32)
+        ops_b = np.zeros(len(a) + len(b) + 1, np.int32)
+        k = lib.align_i32(
+            ia.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ia),
+            ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ib),
+            ops_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ops_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if k >= 0:
+            return [(a[ops_a[i]] if ops_a[i] >= 0 else gap,
+                     b[ops_b[i]] if ops_b[i] >= 0 else gap)
+                    for i in range(k)]
+    return _align_py(a, b, gap)
+
+
+def _align_py(a, b, gap):
     m, n = len(a), len(b)
     dp = [[0] * (n + 1) for _ in range(m + 1)]
     for i in range(m + 1):

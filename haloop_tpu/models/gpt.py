@@ -170,7 +170,12 @@ def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
 
 
 def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
-           measure_entropy=False):
+           measure_entropy=False, activation_spec=None):
+    """activation_spec: optional jax.sharding.PartitionSpec constraining
+    hidden activations between blocks — e.g. P('data', 'model', None)
+    shards the SEQUENCE axis over the model-parallel group in the
+    layernorm/dropout regions (Megatron-style sequence parallelism);
+    GSPMD inserts the all-gather/reduce-scatter pairs at block edges."""
     ke = None
     if key is not None:
         ke, key = jax.random.split(key)
@@ -178,6 +183,8 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
     presents = []
     entropies = []
     for i, block in enumerate(p["transformer"]["h"]):
+        if activation_spec is not None:
+            x = jax.lax.with_sharding_constraint(x, activation_spec)
         kb = None
         if key is not None:
             kb, key = jax.random.split(key)
@@ -192,10 +199,11 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
 
 
 def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
-                train=False):
+                train=False, activation_spec=None):
     """Teacher-forced loss over all positions; CE ignore_index=0
     (reference ha/attention.py:205-232)."""
-    x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train)
+    x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
+                     activation_spec=activation_spec)
     logits = linear(p["lm_head"], x).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target_ids[..., None], axis=-1)[..., 0]
