@@ -65,7 +65,9 @@ def embedding_init(key, num, dim, std=0.02):
 
 
 def embedding(p, ids):
-    return jnp.take(p["weight"], ids, axis=0)
+    # clip (not NaN-fill) out-of-range ids: robust to special tokens
+    # beyond a small vocab
+    return jnp.take(p["weight"], ids, axis=0, mode="clip")
 
 
 def conv1d_init(key, in_channels, out_channels, kernel_size, bias=True, groups=1):

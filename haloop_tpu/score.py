@@ -111,8 +111,9 @@ def main():
             t = toks[:W]
             completions[n, :len(t)] = t
 
+        bos = Tok.eos if cfg.vocab_size > Tok.eos else 0
         input_ids = np.concatenate(
-            [np.full((B, 1), Tok.eos, np.int32), completions[:, :-1]],
+            [np.full((B, 1), bos, np.int32), completions[:, :-1]],
             axis=1)
 
         nll = np.asarray(score(params, jnp.asarray(input_ids),
