@@ -16,7 +16,9 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # pull only device arrays; leave strings/bytes/ints untouched
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
 
 def save_checkpoint(path, obj):

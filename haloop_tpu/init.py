@@ -449,7 +449,11 @@ class Initializer:
             ckpt = None
             for path in args.init:
                 ckpt = load_checkpoint(path)
-                state = ckpt.get("model", ckpt)
+                if "encoder" in ckpt:       # hac System checkpoint layout
+                    state = {"encoder": ckpt["encoder"],
+                             "recognizer": ckpt["recognizer"]}
+                else:
+                    state = ckpt.get("model", ckpt)
                 if isinstance(spec, GPTModel) and any(
                         "." in str(k) for k in state):
                     loaded.append(gpt_params_from_state_dict(state,

@@ -36,9 +36,9 @@ def _next_multiple(x, m):
 
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                   *, causal, t0, bq, bk, d, num_k, scale):
-    ki = jax.lax.axis_index if False else None  # (doc: grid ids below)
     import jax.experimental.pallas as pl
 
+    nh = pl.program_id(0)
     qi = pl.program_id(1)
     kb = pl.program_id(2)
 
@@ -63,7 +63,7 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             preferred_element_type=jnp.float32)            # (bq, bk)
 
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        masked = cols >= kvlen_ref[0]
+        masked = cols >= kvlen_ref[nh]
         if causal:
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             masked = masked | (cols > rows)
@@ -116,8 +116,7 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
         num_scalar_prefetch=0,
         grid=(N * H, num_q, num_k),
         in_specs=[
-            pl.BlockSpec((1,), lambda nh, qi, kb: (nh,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # full kv-lengths
             pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
             pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),
             pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),

@@ -313,12 +313,11 @@ class System:
                 prompt = prompt.encode('utf-8')
             score, completion = self.complete(prompt, self.args.bptt_len,
                                               top_k=self.args.top_k)
+            if isinstance(completion, bytes) and isinstance(prompt, str):
+                prompt = prompt.encode('utf-8')  # byte-vocab completion
             output = prompt + completion if completion else prompt
-            if self.args.vocab != 'auto':
-                outputs.append(str(output, 'utf-8', errors='replace')
-                               if isinstance(output, bytes) else output)
-            else:
-                outputs.append(output)
+            outputs.append(str(output, 'utf-8', errors='replace')
+                           if isinstance(output, bytes) else output)
             prompt_scores.append(float(score))
         return np.array(prompt_scores), outputs
 
