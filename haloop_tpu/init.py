@@ -149,22 +149,25 @@ class RecognizerSpec:
         raise ValueError(self.kind)
 
     def decode(self, params, features, input_lengths, target_lengths,
-               prompt=None, max_steps=None):
-        """Greedy decode. Returns (hyps, lengths, log_probs, entropies)."""
+               prompt=None, max_steps=None, key=None, train=False):
+        """Greedy decode. Returns (hyps, lengths, log_probs, entropies).
+        train=True keeps dropout active (test-time-dropout attempts)."""
         if self.kind == "ctc":
             hyps, lens, ali, scores = RE.temporal_classifier_decode(
-                params, features, input_lengths)
+                params, features, input_lengths, key=key, train=train)
             return hyps, lens, jnp.sum(
                 jnp.where(jnp.arange(scores.shape[1])[None] <
                           input_lengths[:, None], scores, 0.0), -1), None
         if self.kind == "decoder":
             return TR.decoder_decode(params, self.tcfg, features,
                                      input_lengths, target_lengths,
-                                     prompt=prompt, max_steps=max_steps)
+                                     prompt=prompt, max_steps=max_steps,
+                                     key=key, train=train)
         if self.kind == "ctc-attention":
             return TR.decoder_decode(params["decoder"], self.tcfg, features,
                                      input_lengths, target_lengths,
-                                     prompt=prompt, max_steps=max_steps)
+                                     prompt=prompt, max_steps=max_steps,
+                                     key=key, train=train)
         raise NotImplementedError(self.kind)
 
 
@@ -296,6 +299,10 @@ def create_model(arch: str, compile: bool = True):
         case ['lstm', vocab]:
             enc = EncoderSpec("lstm", hidden_dim=1536, input_dim=80)
             return pair(enc, RecognizerSpec("ctc", int(vocab), 1536))
+        case ['e2ctc-d2', vocab]:
+            # small-footprint extension arch for CPU tests/smoke runs
+            return enc_dec(int(vocab), 2, 2, with_ctc=True, n_embd=64,
+                           n_head=2)
         case ['lstm-tiny', vocab]:
             # small-footprint extension arch for CPU tests/smoke runs
             enc = EncoderSpec("lstm", hidden_dim=256, input_dim=80)

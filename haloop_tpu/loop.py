@@ -54,8 +54,9 @@ class System:
         self.key = jax.random.PRNGKey(args.seed)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
-        self._eval_forward = jax.jit(self._forward_impl,
-                                     static_argnames=("train",))
+        self._eval_forward = jax.jit(
+            self._forward_impl,
+            static_argnames=("train", "measure_entropy", "return_stats"))
         self._decode = jax.jit(self._decode_impl,
                                static_argnames=("max_steps", "train"))
         self._score_step = jax.jit(self._score_impl)
@@ -64,7 +65,8 @@ class System:
 
     def _forward_impl(self, params, inputs, condtargets, input_lengths,
                       condtarget_lengths, key, *, train,
-                      drop_labels=False):
+                      drop_labels=False, measure_entropy=False,
+                      return_stats=False):
         k1, k2 = jax.random.split(key)
         enc_params = params["encoder"]
         if self.args.dtype == "bfloat16":
@@ -77,13 +79,16 @@ class System:
             inputs = inputs.astype(jnp.bfloat16)
         feats, feat_lens, enc_stats = self.spec.encoder.apply(
             enc_params, inputs, input_lengths, train=train,
-            key=k1 if train else None)
+            key=k1 if train else None, measure_entropy=measure_entropy)
         feats = feats.astype(jnp.float32)
         loss, stats = self.spec.recognizer.loss(
             params["recognizer"], feats, condtargets, feat_lens,
             condtarget_lengths, star_penalty=self.args.star_penalty,
             drop_labels=drop_labels, train=train,
+            measure_entropy=measure_entropy,
             key=k2 if train or drop_labels else None)
+        if return_stats:
+            return loss, feats, feat_lens, (enc_stats, stats)
         return loss, feats, feat_lens
 
     def _train_step_impl(self, params, opt_state, inputs, condtargets,
@@ -117,13 +122,14 @@ class System:
         return new_params, new_opt, loss, enc_norm, bad
 
     def _decode_impl(self, params, feats, feat_lens, target_lengths,
-                     prompt=None, *, max_steps, train=False):
+                     prompt=None, key=None, *, max_steps, train=False):
         if self.spec.recognizer.kind == "ctc":
             return self.spec.recognizer.decode(
-                params["recognizer"], feats, feat_lens, target_lengths)
+                params["recognizer"], feats, feat_lens, target_lengths,
+                key=key, train=train)
         hyp, out_len, log_probs, sum_ent = self.spec.recognizer.decode(
             params["recognizer"], feats, feat_lens, target_lengths,
-            prompt=prompt, max_steps=max_steps)
+            prompt=prompt, max_steps=max_steps, key=key, train=train)
         return hyp, out_len, log_probs, sum_ent
 
     def _score_impl(self, params, feats, feat_lens, condtargets,
@@ -250,11 +256,25 @@ class System:
         args = self.args
         i = -1
 
+        dropout_on = attempts > 1   # test-time dropout (ha/loop.py:270-273)
+        measure_entropy = bool(getattr(args, 'entropy', False))
         for i, (idxs, inputs, condtargets, input_lengths,
                 condtarget_lengths) in enumerate(loader):
-            loss, feats, feat_lens = self._eval_forward(
+            out = self._eval_forward(
                 self.params, inputs, condtargets, input_lengths,
-                condtarget_lengths, self.next_key(), train=False)
+                condtarget_lengths, self.next_key(), train=dropout_on,
+                measure_entropy=measure_entropy,
+                return_stats=measure_entropy)
+            if measure_entropy:
+                loss, feats, feat_lens, (enc_stats, rec_stats) = out
+                for name, stats in (('encoder', enc_stats),
+                                    ('recognizer', rec_stats)):
+                    for k, v in (stats or {}).items():
+                        if isinstance(v, list) and v:
+                            print(name, k,
+                                  np.asarray(jnp.stack(v)), flush=True)
+            else:
+                loss, feats, feat_lens = out
             if i == 0 and not args.quiet:
                 stats = activation_stats({'encoder.features': feats})
                 print_activation_stats(stats)
@@ -272,7 +292,8 @@ class System:
                 for attempt in range(attempts):
                     out = self._decode(
                         self.params, feats, feat_lens, condtarget_lengths,
-                        prompt_tensor, max_steps=max_steps)
+                        prompt_tensor, self.next_key(),
+                        max_steps=max_steps, train=dropout_on)
                     hyps, out_lens, log_probs, sum_ents = out
                     hyps = np.asarray(hyps)
                     out_lens = np.asarray(out_lens)

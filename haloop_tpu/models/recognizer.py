@@ -79,9 +79,13 @@ def ctc_collapse(alignments, input_lengths):
     return hyps, lengths.astype(jnp.int32)
 
 
-def temporal_classifier_decode(p, features, input_lengths):
-    """Greedy decode. Returns (hyps, lengths, alignments, scores)."""
-    log_probs = temporal_classifier_log_probs(p, features, train=False)
+def temporal_classifier_decode(p, features, input_lengths, key=None,
+                               train=False):
+    """Greedy decode. Returns (hyps, lengths, alignments, scores).
+    train=True keeps dropout on (test-time-dropout WER estimation,
+    ha/loop.py:345-357)."""
+    log_probs = temporal_classifier_log_probs(p, features, key=key,
+                                              train=train)
     scores = jnp.max(log_probs, axis=-1)
     alignments = jnp.argmax(log_probs, axis=-1)
     hyps, lengths = ctc_collapse(alignments, input_lengths)

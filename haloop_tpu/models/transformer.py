@@ -216,7 +216,7 @@ def decoder_forward(p, cfg, features, targets, input_lengths=None,
 
 
 def decoder_decode(p, cfg, features, input_lengths, target_lengths,
-                   prompt=None, max_steps=None):
+                   prompt=None, max_steps=None, key=None, train=False):
     """Batched greedy decode as one lax.scan with fixed horizon.
 
     Returns (hyps (N, T) 0-padded, output_lengths, log_probs,
@@ -244,10 +244,13 @@ def decoder_decode(p, cfg, features, input_lengths, target_lengths,
     self_k = jnp.zeros(kv_shape, features.dtype)
     self_v = jnp.zeros(kv_shape, features.dtype)
 
+    p_drop = cfg.p_drop if train else 0.0
+
     def step(carry, t):
         buf, alive, self_k, self_v, log_probs, sum_ent, out_len = carry
         tok = jax.lax.dynamic_slice_in_dim(buf, t, 1, axis=1)      # (N, 1)
         y = embedding(p["wte"], tok)                               # (N, 1, C)
+        kt = jax.random.fold_in(key, t) if key is not None else None
 
         new_k, new_v = self_k, self_v
         for layer, block in enumerate(p["h"]):
@@ -268,10 +271,15 @@ def decoder_decode(p, cfg, features, input_lengths, target_lengths,
                 new_v, v1[None], (layer, 0, 0, t, 0))
             smask = (jnp.arange(T)[None, :] > t)[None, None, :, :]
             att, _ = attend(q, new_k[layer], new_v[layer], mask=smask)
-            y = y + dropout(None, linear(block["mix_time"]["proj"],
-                                         _merge_heads(att)), 0.0, True)
+            kl = (jax.random.fold_in(kt, layer)
+                  if kt is not None else None)
+            k1_, k2_ = ((None, None) if kl is None
+                        else tuple(jax.random.split(kl)))
+            y = y + dropout(k1_, linear(block["mix_time"]["proj"],
+                                        _merge_heads(att)), p_drop,
+                            not train)
             y = y + _mlp(block["mix_chan"], layer_norm(block["ln_chan"], y),
-                         None, False, 0.0)
+                         k2_, train, p_drop)
 
         logits = linear(p["lm_head"], layer_norm(p["ln_f"], y[:, -1, :]))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
