@@ -35,13 +35,13 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from haloop_tpu.argparse import ArgumentParser, Formatter, int_or_float
-from haloop_tpu.checkpoint import Checkpointer, construct_path_suffix
+from haloop_tpu.checkpoint import Checkpointer
 from haloop_tpu.init import Initializer, GPTModel, log
 from haloop_tpu.mlm import mask_tokens
 from haloop_tpu.models import gpt as G
 from haloop_tpu.models import lora
 from haloop_tpu.optim import LR, decay_mask
-from haloop_tpu.parallel import data_mesh, is_master, shard_batch
+from haloop_tpu.parallel import data_mesh, is_master
 from haloop_tpu import wandb_compat as wandb
 
 

@@ -17,7 +17,6 @@ TPU-native redesign of the reference's CUDA loop:
 
 from collections import Counter, defaultdict
 from itertools import pairwise
-from pathlib import Path
 import sys
 import time
 
@@ -33,7 +32,7 @@ from haloop_tpu.align import align, edit_distance
 from haloop_tpu.checkpoint import Checkpointer, load_checkpoint
 from haloop_tpu.data import concat_datasets
 from haloop_tpu.dataloader import Collator, DataLoader
-from haloop_tpu.init import Initializer, create_model, log
+from haloop_tpu.init import Initializer, log
 from haloop_tpu.monitor import activation_stats, print_activation_stats
 from haloop_tpu.optim import LR, configure_optimizers
 

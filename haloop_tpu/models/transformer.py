@@ -26,7 +26,6 @@ ha/transformer.py:145 — a latent bug per SURVEY.md §7).
 
 import dataclasses
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

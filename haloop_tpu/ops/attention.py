@@ -10,7 +10,6 @@ All softmax math runs in fp32 regardless of input dtype (bf16-safe).
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -112,14 +112,25 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
         _flash_kernel, causal=causal, t0=t0, bq=bq, bk=bk, d=Dp,
         num_k=num_k, scale=scale)
 
+    if causal:
+        # clamp masked K blocks to the last needed index: Pallas elides
+        # the DMA when a block index repeats, so fully-masked blocks
+        # cost neither bandwidth nor compute (pl.when skips the math)
+        def kv_index(nh, qi, kb):
+            last_needed = (t0 + (qi + 1) * bq - 1) // bk
+            return (nh, jnp.minimum(kb, last_needed), 0)
+    else:
+        def kv_index(nh, qi, kb):
+            return (nh, kb, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N * H, num_q, num_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # full kv-lengths
             pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
-            pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),
-            pl.BlockSpec((1, bk, Dp), lambda nh, qi, kb: (nh, kb, 0)),
+            pl.BlockSpec((1, bk, Dp), kv_index),
+            pl.BlockSpec((1, bk, Dp), kv_index),
         ],
         out_specs=pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
         scratch_shapes=[

@@ -6,7 +6,6 @@ memory-maps binarized corpora (np.memmap replaces torch ShortStorage).
 
 import math
 import sys
-from pathlib import Path
 from typing import Protocol
 
 import numpy as np
