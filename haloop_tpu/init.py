@@ -72,20 +72,23 @@ class EncoderSpec:
         raise ValueError(self.kind)
 
     def apply(self, params, x, input_lengths, *, train=False, key=None,
-              measure_entropy=False):
+              measure_entropy=False, collect_activations=False):
         if self.kind == "lstm":
             return R.encoder_apply(params, x, input_lengths, key=key,
-                                   train=train)
+                                   train=train,
+                                   collect_activations=collect_activations)
         if self.kind == "gpt-audio":
-            return AU.audio_encoder_apply(params, self.cfg, x, input_lengths,
-                                          measure_entropy, key, train)
+            return AU.audio_encoder_apply(
+                params, self.cfg, x, input_lengths, measure_entropy, key,
+                train, collect_activations=collect_activations)
         if self.kind == "gpt-striding":
             return AU.striding_audio_encoder_apply(
                 params, self.cfg, x, input_lengths, measure_entropy, key,
-                train)
+                train, collect_activations=collect_activations)
         if self.kind == "tr-audio":
-            return TR.audio_encoder_apply(params, self.cfg, x, input_lengths,
-                                          measure_entropy, key, train)
+            return TR.audio_encoder_apply(
+                params, self.cfg, x, input_lengths, measure_entropy, key,
+                train, collect_activations=collect_activations)
         if self.kind == "r9":
             return RN.fixup_resnet_apply(params, x, input_lengths)
         raise ValueError(self.kind)

@@ -78,7 +78,8 @@ class System:
             inputs = inputs.astype(jnp.bfloat16)
         feats, feat_lens, enc_stats = self.spec.encoder.apply(
             enc_params, inputs, input_lengths, train=train,
-            key=k1 if train else None, measure_entropy=measure_entropy)
+            key=k1 if train else None, measure_entropy=measure_entropy,
+            collect_activations=return_stats)
         feats = feats.astype(jnp.float32)
         loss, stats = self.spec.recognizer.loss(
             params["recognizer"], feats, condtargets, feat_lens,
@@ -275,8 +276,17 @@ class System:
             else:
                 loss, feats, feat_lens = out
             if i == 0 and not args.quiet:
-                stats = activation_stats({'encoder.features': feats})
-                print_activation_stats(stats)
+                # per-module activation stats on the first eval batch
+                # (monitor hooks equivalent, ha/loop.py:275-282)
+                out2 = self._eval_forward(
+                    self.params, inputs, condtargets, input_lengths,
+                    condtarget_lengths, self.next_key(), train=dropout_on,
+                    return_stats=True)
+                enc_stats2 = out2[3][0]
+                named = {f'encoder.{k}': v for k, v in
+                         (enc_stats2.get('activations') or {}).items()}
+                named['encoder.features'] = feats
+                print_activation_stats(activation_stats(named))
 
             collected = defaultdict(list)
             gt_wer = {}

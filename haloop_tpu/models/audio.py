@@ -69,10 +69,13 @@ def audio_encoder_subsampled_lengths(cfg, input_lengths):
 
 
 def audio_encoder_apply(p, cfg, x, input_lengths, measure_entropy=False,
-                        key=None, train=False):
+                        key=None, train=False, collect_activations=False):
     """x: (N, T, d_input) -> (features, lengths, stats)."""
+    acts = {}
     x = new_gelu(conv1d(p["conv_pre"], x, stride=1, padding=1))
     x = new_gelu(conv1d(p["conv_subsample"], x, stride=2, padding=1))
+    if collect_activations:
+        acts["conv"] = x
 
     T = x.shape[1]
     if not cfg.rotary_emb_dim:
@@ -83,14 +86,17 @@ def audio_encoder_apply(p, cfg, x, input_lengths, measure_entropy=False,
         kd, key = jax.random.split(key)
     x = dropout(kd, x, cfg.dropout, deterministic=not train)
 
-    for block in p["transformer"]["h"]:
+    for i, block in enumerate(p["transformer"]["h"]):
         kb = None
         if key is not None:
             kb, key = jax.random.split(key)
         x, _, _ = _block_apply(block, cfg, x, measure_entropy=measure_entropy,
                                key=kb, train=train)
+        if collect_activations:
+            acts[f"h.{i}"] = x
     x = layer_norm(p["transformer"]["ln_f"], x)
-    return x, audio_encoder_subsampled_lengths(cfg, input_lengths), {}
+    stats = {"activations": acts} if collect_activations else {}
+    return x, audio_encoder_subsampled_lengths(cfg, input_lengths), stats
 
 
 def striding_audio_encoder_init(key, cfg: StridingAudioEncoderConfig):
@@ -118,21 +124,34 @@ def striding_subsampled_lengths(cfg, input_lengths):
 
 def striding_audio_encoder_apply(p, cfg, x, input_lengths,
                                  measure_entropy=False, key=None,
-                                 train=False):
+                                 train=False, collect_activations=False):
+    acts = {}
     x = new_gelu(conv1d(p["conv"][0], x, stride=cfg.conv_strides[0],
                         padding=1))
     for layer, s in zip(p["conv"][1:], cfg.conv_strides[1:]):
         x = new_gelu(dwconv1d(layer, x, stride=s, padding=1))
+    if collect_activations:
+        acts["conv"] = x
 
     kd = None
     if key is not None:
         kd, key = jax.random.split(key)
     x = dropout(kd, x, cfg.dropout, deterministic=not train)
-    for block in p["transformer"]["h"]:
+    entropies = []
+    for i, block in enumerate(p["transformer"]["h"]):
         kb = None
         if key is not None:
             kb, key = jax.random.split(key)
-        x, _, _ = _block_apply(block, cfg, x, measure_entropy=measure_entropy,
-                               key=kb, train=train)
+        x, ent, _ = _block_apply(block, cfg, x,
+                                 measure_entropy=measure_entropy,
+                                 key=kb, train=train)
+        entropies.append(ent)
+        if collect_activations:
+            acts[f"h.{i}"] = x
     x = layer_norm(p["transformer"]["ln_f"], x)
-    return x, striding_subsampled_lengths(cfg, input_lengths), {}
+    stats = {}
+    if measure_entropy:
+        stats["self_entropy"] = entropies
+    if collect_activations:
+        stats["activations"] = acts
+    return x, striding_subsampled_lengths(cfg, input_lengths), stats

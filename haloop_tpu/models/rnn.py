@@ -31,10 +31,14 @@ def encoder_subsampled_lengths(input_lengths, k=5, s=4, p=3):
 
 
 def encoder_apply(p, inputs, input_lengths, *, num_layers=3, p_drop=0.2,
-                  lstm_dropout=0.2, key=None, train=False):
+                  lstm_dropout=0.2, key=None, train=False,
+                  collect_activations=False):
     """inputs: (N, T, C) -> (features (N, T', H), lengths, stats)."""
+    acts = {}
     x = conv1d(p["subsample"], inputs, stride=4, padding=3)
     x = jax.nn.relu(x)
+    if collect_activations:
+        acts["subsample"] = x
     if train and key is not None:
         kd, key = jax.random.split(key)
         x = dropout(kd, x, p_drop, deterministic=not train)
@@ -43,7 +47,11 @@ def encoder_apply(p, inputs, input_lengths, *, num_layers=3, p_drop=0.2,
                            dropout=lstm_dropout, dropout_key=key,
                            deterministic=not train)
     x = jnp.swapaxes(x, 0, 1)                       # (N, T', H)
-    return jax.nn.relu(x), encoder_subsampled_lengths(input_lengths), {}
+    x = jax.nn.relu(x)
+    if collect_activations:
+        acts["lstm"] = x
+    stats = {"activations": acts} if collect_activations else {}
+    return x, encoder_subsampled_lengths(input_lengths), stats
 
 
 # ---------------------------------------------------------------- Decoder

@@ -377,18 +377,22 @@ def audio_encoder_init(key, cfg: AudioEncoderConfig):
 
 
 def audio_encoder_apply(p, cfg, x, input_lengths, measure_entropy=False,
-                        key=None, train=False, time_mask=None):
+                        key=None, train=False, time_mask=None,
+                        collect_activations=False):
     """x: (N, T, input_dim) -> (features, lengths, stats). time_mask stays
     None by default (reference quirk ha/transformer.py:244-246)."""
+    acts = {}
     x, input_lengths = conv_encoder(p["conv"], x, input_lengths,
                                     cfg.conv_strides)
+    if collect_activations:
+        acts["conv"] = x
     kd = None
     if key is not None:
         kd, key = jax.random.split(key)
     x = dropout(kd, x, cfg.p_drop, deterministic=not train)
 
     stats = {"meme_entropy": [], "self_entropy": []}
-    for block in p["h"]:
+    for i, block in enumerate(p["h"]):
         kb = None
         if key is not None:
             kb, key = jax.random.split(key)
@@ -398,7 +402,11 @@ def audio_encoder_apply(p, cfg, x, input_lengths, measure_entropy=False,
             p_drop=cfg.p_drop)
         stats["meme_entropy"].append(m_ent)
         stats["self_entropy"].append(t_ent)
+        if collect_activations:
+            acts[f"h.{i}"] = x
     x = layer_norm(p["ln_f"], x)
+    if collect_activations:
+        stats["activations"] = acts
     return x, input_lengths, stats
 
 
