@@ -54,8 +54,13 @@ def _single_layer(p, layer, x, h0, c0):
         h, c = lstm_cell(xp, h, c, w_hh)
         return (h, c), h
 
-    (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj)
+    # unroll amortizes per-iteration loop overhead on TPU; 8 measured
+    # best for the production configs (scripts/bench_lstm.py)
+    (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=_UNROLL)
     return ys, h, c
+
+
+_UNROLL = 8
 
 
 def multilayer_lstm(p, x, state=None, num_layers=1, hidden_size=None,

@@ -1,0 +1,81 @@
+"""Parallelism tests on the 8-virtual-device CPU mesh: data/tensor
+shardings, sequence-parallel constraints, and the GPipe pipeline."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from haloop_tpu.models import gpt as G
+from haloop_tpu.parallel.tensor import gpt_param_spec
+from haloop_tpu.parallel.pipeline import pipeline_gpt_loss
+
+
+def need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def _tiny(n_layer=2):
+    cfg = G.GPTConfig(block_size=16, vocab_size=32, n_layer=n_layer,
+                      n_head=2, n_embd=16)
+    return cfg, G.gpt_init(jax.random.PRNGKey(0), cfg)
+
+
+def test_tensor_parallel_matches_single_device():
+    need_devices(4)
+    cfg, params = _tiny()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    tgt = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    ref = float(G.forward_all(params, cfg, ids, tgt))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "model"))
+    pspecs = gpt_param_spec(params)
+    shard = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    xb = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    yb = jax.device_put(tgt, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        loss = float(jax.jit(
+            lambda p, x, y: G.forward_all(p, cfg, x, y))(shard, xb, yb))
+    np.testing.assert_allclose(loss, ref, rtol=1e-5)
+
+
+def test_pipeline_matches_single_device():
+    need_devices(4)
+    cfg, params = _tiny(n_layer=4)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 32, (8, 16)))
+    tgt = jnp.asarray(rng.integers(1, 32, (8, 16)))
+    ref_loss = float(G.forward_all(params, cfg, ids, tgt))
+    ref_grad = jax.grad(lambda p: G.forward_all(p, cfg, ids, tgt))(params)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    with mesh:
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda p: pipeline_gpt_loss(p, cfg, mesh, ids, tgt,
+                                        n_micro=4)))(params)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sequence_parallel_constraint():
+    need_devices(4)
+    cfg, params = _tiny()
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    tgt = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    ref = float(G.forward_all(params, cfg, ids, tgt))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "model"))
+    with mesh:
+        loss = float(jax.jit(lambda p: G.forward_all(
+            p, cfg, ids, tgt,
+            activation_spec=P("data", "model", None)))(params))
+    np.testing.assert_allclose(loss, ref, rtol=1e-5)
