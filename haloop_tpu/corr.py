@@ -1,4 +1,10 @@
-"""hax — dependence statistics on stdin columns (reference: ha/corr.py)."""
+"""hax — dependence statistics (reference behavior: ha/corr.py).
+
+Reads two space-separated columns from stdin and prints their Pearson
+correlation coefficient. ``rank_corr`` computes Spearman rank
+correlation between two differently-ordered dataframes sharing an index
+(used by the active-learning loop to compare query rankings).
+"""
 
 import sys
 
@@ -7,15 +13,22 @@ import numpy as np
 from haloop_tpu import argparse
 
 
-def rank_corr(l, r):
-    "spearman rank correlation between two differently ordered dataframes with the same index"
-    l = l.copy(); r = r.copy()
-    l['left_rank'] = np.arange(len(l))
-    r['right_rank'] = np.arange(len(r))
-    both = l.merge(r, left_index=True, right_index=True)
-    rank_sq_diff = (both['left_rank'] - both['right_rank']) ** 2
-    n = len(both)
-    return 1 - 6 * rank_sq_diff.sum() / (n * (n ** 2 - 1))
+def rank_corr(left, right):
+    """Spearman rank correlation of two orderings over the same items."""
+    left = left.copy()
+    right = right.copy()
+    left['left_rank'] = np.arange(len(left))
+    right['right_rank'] = np.arange(len(right))
+    merged = left.merge(right, left_index=True, right_index=True)
+    n = len(merged)
+    if n < 2:
+        return 1.0
+    d2 = np.square(merged['left_rank'] - merged['right_rank']).sum()
+    return 1.0 - 6.0 * d2 / (n * (n * n - 1))
+
+
+def pearson(x, y):
+    return float(np.corrcoef(x, y)[0, 1])
 
 
 def main():
@@ -23,9 +36,8 @@ def main():
         description='hax computes dependence statistics',
         formatter_class=argparse.Formatter)
     parser.parse_args()
-
-    data = np.loadtxt(sys.stdin, delimiter=' ')
-    print(np.corrcoef(data[:, 0], data[:, 1])[0, 1])
+    table = np.loadtxt(sys.stdin, delimiter=' ')
+    print(pearson(table[:, 0], table[:, 1]))
 
 
 if __name__ == '__main__':

@@ -54,13 +54,13 @@ def _single_layer(p, layer, x, h0, c0):
         h, c = lstm_cell(xp, h, c, w_hh)
         return (h, c), h
 
-    # unroll amortizes per-iteration loop overhead on TPU; 8 measured
-    # best for the production configs (scripts/bench_lstm.py)
+    # unroll measured neutral on TPU (scripts/bench_sweep.py): the step
+    # is HBM/matmul-bound, not loop-overhead-bound
     (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=_UNROLL)
     return ys, h, c
 
 
-_UNROLL = 8
+_UNROLL = 1
 
 
 def multilayer_lstm(p, x, state=None, num_layers=1, hidden_size=None,

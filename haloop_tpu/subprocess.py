@@ -1,45 +1,52 @@
-"""Subprocess wrapper used by the active-learning loop
-(reference: ha/subprocess.py): tee to a log file, timing, shlex echo,
-check=True by default."""
+"""Subprocess helpers for the active-learning orchestrator
+(reference behavior: ha/subprocess.py): echo the shlex-joined command,
+optionally tee stdout+stderr into a log file, time the run, and default
+to check=True.
+"""
 
 import shlex
-import subprocess
+import subprocess as _sp
 import time
-from contextlib import ExitStack
 from functools import reduce, wraps
 from pathlib import Path
 
 
-@wraps(subprocess.run)
+@wraps(_sp.run)
 def run(cmd, *args, output_filename: Path | None = None, quiet=False,
         **kwargs):
-    with ExitStack() as stack:
-        if output_filename:
-            kwargs['stdout'] = stack.enter_context(open(output_filename, 'w'))
-            kwargs['stderr'] = subprocess.STDOUT
+    shell = isinstance(cmd, str)
+    argv = [cmd] if shell else list(cmd)
+    if shell:
+        kwargs['shell'] = True
+    kwargs.setdefault('check', True)
 
-        if isinstance(cmd, str):
-            cmd = [cmd]
-            kwargs['shell'] = True
+    log_file = None
+    if output_filename is not None:
+        log_file = open(output_filename, 'w')
+        kwargs['stdout'] = log_file
+        kwargs['stderr'] = _sp.STDOUT
 
+    if not quiet:
+        shown = shlex.join(argv)
+        if output_filename is not None:
+            print(shown, '>', output_filename, flush=True)
+        else:
+            print(shown, flush=True)
+
+    started = time.time()
+    try:
+        return _sp.run(argv, *args, **kwargs)
+    finally:
+        if log_file is not None:
+            log_file.close()
         if not quiet:
-            if output_filename:
-                print(shlex.join(cmd), '>', output_filename, flush=True)
-            else:
-                print(shlex.join(cmd), flush=True)
-        x = cmd[0]
-        t0 = time.time()
-        if 'check' not in kwargs:
-            kwargs['check'] = True
-        try:
-            return subprocess.run(cmd, *args, **kwargs)
-        finally:
-            if not quiet:
-                print('#', x, 'took', time.time() - t0, flush=True)
+            print('#', argv[0], 'took', time.time() - started, flush=True)
 
 
-def sh(x, *args, **kwargs):
-    dash_dash = [[f"--{kw.replace('_', '-')}", str(kwargs[kw])]
-                 for kw in kwargs]
-    return run([x] + reduce(list.__add__, dash_dash, [])
-               + [str(arg) for arg in args])
+def sh(program, *args, **kwargs):
+    """Build '--flag value' pairs from kwargs and run."""
+    flags = [[f"--{name.replace('_', '-')}", str(value)]
+             for name, value in kwargs.items()]
+    argv = [program] + reduce(list.__add__, flags, []) + \
+        [str(a) for a in args]
+    return run(argv)
