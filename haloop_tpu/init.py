@@ -171,6 +171,11 @@ class RecognizerSpec:
                                      input_lengths, target_lengths,
                                      prompt=prompt, max_steps=max_steps,
                                      key=key, train=train)
+        if self.kind == "transducer":
+            hyps, lens, _, scores = RE.transducer_greedy_decode(
+                params, features, input_lengths,
+                max_symbols=max_steps or features.shape[1])
+            return hyps, lens, scores, None
         raise NotImplementedError(self.kind)
 
 

@@ -123,10 +123,10 @@ class System:
 
     def _decode_impl(self, params, feats, feat_lens, target_lengths,
                      prompt=None, key=None, *, max_steps, train=False):
-        if self.spec.recognizer.kind == "ctc":
+        if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,
-                key=key, train=train)
+                key=key, train=train, max_steps=max_steps)
         hyp, out_len, log_probs, sum_ent = self.spec.recognizer.decode(
             params["recognizer"], feats, feat_lens, target_lengths,
             prompt=prompt, max_steps=max_steps, key=key, train=train)

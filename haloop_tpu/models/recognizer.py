@@ -129,3 +129,63 @@ def transducer_loss(p, features, targets, input_lengths=None,
     losses = transducer_forward_score(joint, targets, input_lengths,
                                       target_lengths)
     return jnp.mean(losses), {}
+
+
+def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
+                             lm_dim=512, max_symbols=None, step_budget=None):
+    """Batched streaming greedy RNN-T decode, fully on device.
+
+    At each tick the joint of the current frame and prediction-net state
+    picks argmax: blank advances time, a label is emitted and advances
+    the prediction LSTM. One lax.scan of T + max_symbols ticks covers
+    every item (each tick advances t or u). Goes beyond the reference,
+    whose Transducer.decode raises NotImplementedError
+    (ha/recognizer.py:96-97).
+
+    Returns (hyps (N, max_symbols) 0-padded, lengths, None, scores).
+    """
+    N, T, F = features.shape
+    V = p["classifier"]["weight"].shape[0]
+    if max_symbols is None:
+        max_symbols = T
+    if step_budget is None:
+        step_budget = T + max_symbols
+
+    f = linear(p["classifier"], features)              # (N, T, V)
+    state0 = rnn.decoder_init_hidden(lm_layers, N, lm_dim)
+    g0, state0 = rnn.decoder_step(p["lm"], jnp.zeros((N,), jnp.int32),
+                                  state0, num_layers=lm_layers)
+
+    def tick(carry, _):
+        t, u, g, state, hyps, score, done = carry
+        f_t = jnp.take_along_axis(
+            f, jnp.clip(t, 0, T - 1)[:, None, None], axis=1)[:, 0]  # (N, V)
+        logp = jax.nn.log_softmax((f_t + g).astype(jnp.float32), -1)
+        tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        val = jnp.max(logp, axis=-1)
+        blank = tok == 0
+        emit = ~blank & ~done & (u < max_symbols)
+
+        hyps = hyps.at[jnp.arange(N), jnp.clip(u, 0, max_symbols - 1)].set(
+            jnp.where(emit, tok, hyps[jnp.arange(N),
+                                      jnp.clip(u, 0, max_symbols - 1)]))
+        score = jnp.where(done, score, score + val)
+
+        g_new, state_new = rnn.decoder_step(p["lm"], tok, state,
+                                            num_layers=lm_layers)
+        g = jnp.where(emit[:, None], g_new, g)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(emit[None, :, None], new, old),
+            state_new, state)
+
+        t = jnp.where(blank & ~done, t + 1, t)
+        u = jnp.where(emit, u + 1, u)
+        done = done | (t >= input_lengths) | (u >= max_symbols)
+        return (t, u, g, state, hyps, score, done), None
+
+    init = (jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), g0,
+            state0, jnp.zeros((N, max_symbols), jnp.int32),
+            jnp.zeros((N,), jnp.float32), jnp.zeros((N,), bool))
+    (t, u, g, state, hyps, score, done), _ = jax.lax.scan(
+        tick, init, None, length=step_budget)
+    return hyps, u, None, score

@@ -87,6 +87,27 @@ def decoder_apply(p, input_ids, state, *, num_layers, dropout_rate=0.0,
     return logits, state
 
 
+def decoder_step(p, token_ids, state, *, num_layers):
+    """Single LSTM-LM step: token_ids (N,) -> (logits (N, V), state).
+    Used by the transducer's streaming greedy decode."""
+    from haloop_tpu.nn.lstm import lstm_cell
+    emb_w = p["embedding"]["weight"]
+    x = embedding(p["embedding"], token_ids)          # (N, E)
+    h, c = state
+    hs, cs = [], []
+    for layer in range(num_layers):
+        w_ih = p["rnn"][f"weight_ih_l{layer}"]
+        w_hh = p["rnn"][f"weight_hh_l{layer}"]
+        bias = p["rnn"][f"bias_ih_l{layer}"] + p["rnn"][f"bias_hh_l{layer}"]
+        x_proj = x @ w_ih.T + bias
+        hn, cn = lstm_cell(x_proj, h[layer], c[layer], w_hh)
+        hs.append(hn)
+        cs.append(cn)
+        x = hn
+    logits = x @ emb_w.T                               # tied projection
+    return logits, (jnp.stack(hs), jnp.stack(cs))
+
+
 def truncate_hidden(state):
     """TBPTT detach (reference ha/rnn.py:75-77): stop gradients flowing
     into the carried state."""
