@@ -158,8 +158,19 @@ class System:
         acc_grads = None
         args = self.args
 
+        profiling = False
         for i, (idxs, inputs, condtargets, input_lengths,
                 condtarget_lengths) in enumerate(train_loader):
+            if args.profile and i == 2 and not profiling:
+                # skip compile steps, then trace (SURVEY.md §5.1: the
+                # TPU replacement for ad-hoc wall-clock profiling)
+                jax.profiler.start_trace(str(args.exp / 'profile'))
+                profiling = True
+            if profiling and i == 2 + args.profile:
+                jax.profiler.stop_trace()
+                profiling = False
+                log(f'profiler trace written to {args.exp}/profile',
+                    flush=True)
             step_key = self.next_key()
             if args.accumulate == 1:
                 (self.params, self.opt_state, loss, grad_norm,
@@ -217,6 +228,8 @@ class System:
                     flush=True)
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         return global_step
 
     def _micro_grads(self, inputs, condtargets, input_lengths,
@@ -516,6 +529,9 @@ def make_parser():
     parser.add_argument('--dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
                         help="encoder compute dtype (losses stay fp32)")
+    parser.add_argument('--profile', type=int, default=0,
+                        help="capture a jax profiler trace of this many "
+                             "training steps into <exp>/profile")
     return parser
 
 
