@@ -203,8 +203,11 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
     x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
                      activation_spec=activation_spec)
     logits = linear(p["lm_head"], x).astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, target_ids[..., None], axis=-1)[..., 0]
+    # nll = logsumexp - target logit: avoids materializing a second
+    # (B, T, V) log-softmax array (HBM-bound for GPT-2 vocab sizes)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, target_ids[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
     valid = target_ids != 0
     nll = jnp.where(valid, nll, 0.0)
     if reduction == "mean":

@@ -201,8 +201,10 @@ def decoder_forward(p, cfg, features, targets, input_lengths=None,
         loss = jnp.sum(jnp.max(jax.nn.log_softmax(logits, -1), axis=-1),
                        axis=-1)
     else:
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, shifted[..., None], axis=-1)[..., 0]
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, shifted[..., None],
+                                  axis=-1)[..., 0]
+        nll = lse - tgt
         valid = shifted != 0                     # CE ignore_index=0
         nll = jnp.where(valid, nll, 0.0)
         if reduction == "mean":
