@@ -48,19 +48,98 @@ def _single_layer(p, layer, x, h0, c0):
     w_hh = p[f"weight_hh_l{layer}"].astype(x.dtype)
     bias = (p[f"bias_ih_l{layer}"] + p[f"bias_hh_l{layer}"]).astype(x.dtype)
     x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
+    ys, h, c = lstm_scan(w_hh, x_proj, h0, c0)
+    return ys, h, c
 
+
+_UNROLL = 1
+
+
+# ---------------------------------------------------------------------
+# Recurrent core with a hand-written backward.
+#
+# Why: autodiff of the scan accumulates dW_hh with one rank-B update per
+# timestep — reading AND writing the (H, 4H) fp32 accumulator every step
+# (~66 GB of HBM traffic for the lstm:512 bench config, dominating the
+# train step). This custom VJP instead: (1) recomputes all gates with
+# ONE matmul over the stacked h_{t-1}, (2) runs only the tiny dh/dc
+# chain sequentially, stacking per-step gate deltas, and (3) forms
+# dW_hh/dx_proj with single big MXU matmuls. Measured ~2x end-to-end on
+# the hac lstm:512 bench (PERFORMANCE.md).
+
+
+@jax.custom_vjp
+def lstm_scan(w_hh, x_proj, h0, c0):
+    (h, c), ys = _forward_scan(w_hh, x_proj, h0, c0)
+    return ys, h, c
+
+
+def _forward_scan(w_hh, x_proj, h0, c0):
     def step(carry, xp):
         h, c = carry
         h, c = lstm_cell(xp, h, c, w_hh)
         return (h, c), h
 
-    # unroll measured neutral on TPU (scripts/bench_sweep.py): the step
-    # is HBM/matmul-bound, not loop-overhead-bound
-    (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=_UNROLL)
-    return ys, h, c
+    return jax.lax.scan(step, (h0, c0), x_proj, unroll=_UNROLL)
 
 
-_UNROLL = 1
+def _lstm_scan_fwd(w_hh, x_proj, h0, c0):
+    (h, c), ys = _forward_scan(w_hh, x_proj, h0, c0)
+    # residuals: hidden states (needed anyway); cells recomputed cheaply
+    return (ys, h, c), (w_hh, x_proj, h0, c0, ys)
+
+
+def _lstm_scan_bwd(res, grads):
+    w_hh, x_proj, h0, c0, ys = res
+    dys, dh_last, dc_last = grads
+    T, B, H = ys.shape
+
+    h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)      # (T, B, H)
+    # all gate pre-activations in ONE matmul (reads w_hh once)
+    gates = x_proj + h_prev @ w_hh.T                           # (T, B, 4H)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+
+    # recompute the cell chain (sequential but elementwise-only)
+    def cell_step(c, ifg):
+        i_t, f_t, g_t = ifg
+        c = f_t * c + i_t * g_t
+        return c, c
+
+    _, cs = jax.lax.scan(cell_step, c0, (i, f, g))
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    tanh_c = jnp.tanh(cs)
+
+    def back_step(carry, inp):
+        dh, dc = carry
+        dy, i_t, f_t, g_t, o_t, cp, tc = inp
+        dh = dh + dy
+        do = dh * tc * o_t * (1 - o_t)
+        dc = dc + dh * o_t * (1 - tc * tc)
+        di = dc * g_t * i_t * (1 - i_t)
+        dfg = dc * cp * f_t * (1 - f_t)
+        dg = dc * i_t * (1 - g_t * g_t)
+        dgates = jnp.concatenate([di, dfg, dg, do], axis=-1)   # (B, 4H)
+        dh_prev = dgates @ w_hh                                 # (B, H)
+        dc_prev = dc * f_t
+        return (dh_prev, dc_prev), dgates
+
+    (dh0, dc0), dgates = jax.lax.scan(
+        back_step, (dh_last, dc_last),
+        (dys, i, f, g, o, c_prev, tanh_c), reverse=True)
+
+    # weight/input grads as single large matmuls over the stacked axis
+    dg2 = dgates.reshape(T * B, 4 * H)
+    hp2 = h_prev.reshape(T * B, H)
+    dw_hh = (dg2.T @ hp2).astype(w_hh.dtype)                    # (4H, H)
+    dx_proj = dgates
+    return dw_hh, dx_proj, dh0, dc0
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
 def multilayer_lstm(p, x, state=None, num_layers=1, hidden_size=None,
