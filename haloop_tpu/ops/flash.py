@@ -85,33 +85,149 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
-                   bq=128, bk=128):
-    """q: (N, H, T, D); k, v: (N, H, S, D); kv_lengths: (N,) int32."""
+def _flash_kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_ref, l_ref, acc_ref, *, causal, t0, bq, bk, d,
+                      num_k, scale):
+    """Forward variant that also emits lse = m + log(l) per row (needed
+    by the backward kernels)."""
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                  acc_ref, causal=causal, t0=t0, bq=bq, bk=bk, d=d,
+                  num_k=num_k, scale=scale)
+
+    kb = pl.program_id(2)
+
+    @pl.when(kb == num_k - 1)
+    def _emit_lse():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, acc_ref, *, causal, t0, bq, bk,
+                         num_k, scale):
+    import jax.experimental.pallas as pl
+
+    nh = pl.program_id(0)
+    qi = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row0 = t0 + qi * bq
+    col0 = kb * bk
+    run = (col0 <= row0 + bq - 1) if causal else True
+
+    @pl.when(run if causal else True)
+    def _body():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        masked = cols >= kvlen_ref[nh]
+        if causal:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            masked = masked | (cols > rows)
+        qk = jnp.where(masked, NEG_INF, qk)
+
+        p = jnp.exp(qk - lse_ref[0][:, None])                # (bq, bk)
+        p = jnp.where(masked, 0.0, p)
+        do = do_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == num_k - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          causal, t0, bq, bk, num_q, scale):
+    import jax.experimental.pallas as pl
+
+    nh = pl.program_id(0)
+    kb = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    row0 = t0 + qi * bq
+    col0 = kb * bk
+    run = (col0 <= row0 + bq - 1) if causal else True
+
+    @pl.when(run if causal else True)
+    def _body():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        masked = cols >= kvlen_ref[nh]
+        if causal:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            masked = masked | (cols > rows)
+        qk = jnp.where(masked, NEG_INF, qk)
+        p = jnp.exp(qk - lse_ref[0][:, None])
+        p = jnp.where(masked, 0.0, p)
+
+        do = do_ref[0].astype(jnp.float32)
+        # dv += p^T @ do
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        # dk += ds^T @ (q * scale)  [q already scaled]
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pad_pack(q, k, v, bq, bk):
     N, H, T, D = q.shape
     S = k.shape[2]
     bq = min(bq, _next_multiple(T, 8))
     bk = min(bk, _next_multiple(S, 128))
-    Tp, Sp, Dp = _next_multiple(T, bq), _next_multiple(S, bk), _next_multiple(D, 128)
-
+    Tp = _next_multiple(T, bq)
+    Sp = _next_multiple(S, bk)
+    Dp = _next_multiple(D, 128)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
-    qp = qp.reshape(N * H, Tp, Dp)
-    kp = kp.reshape(N * H, Sp, Dp)
-    vp = vp.reshape(N * H, Sp, Dp)
-    kvl = jnp.broadcast_to(kv_lengths[:, None], (N, H)).reshape(N * H)
+    return (qp.reshape(N * H, Tp, Dp), kp.reshape(N * H, Sp, Dp),
+            vp.reshape(N * H, Sp, Dp), bq, bk, Tp, Sp, Dp)
 
-    num_q, num_k = Tp // bq, Sp // bk
-    scale = 1.0 / math.sqrt(D)
 
-    kernel = functools.partial(
-        _flash_kernel, causal=causal, t0=t0, bq=bq, bk=bk, d=Dp,
-        num_k=num_k, scale=scale)
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    except TypeError:
+        return pltpu.CompilerParams()
 
+
+def _kv_index_fn(causal, t0, bq, bk):
     if causal:
         # clamp masked K blocks to the last needed index: Pallas elides
         # the DMA when a block index repeats, so fully-masked blocks
@@ -122,6 +238,35 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
     else:
         def kv_index(nh, qi, kb):
             return (nh, kb, 0)
+    return kv_index
+
+
+def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
+                   bq=128, bk=128, with_lse=False):
+    """q: (N, H, T, D); k, v: (N, H, S, D); kv_lengths: (N,) int32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, T, D = q.shape
+    qp, kp, vp, bq, bk, Tp, Sp, Dp = _pad_pack(q, k, v, bq, bk)
+    kvl = jnp.broadcast_to(kv_lengths[:, None], (N, H)).reshape(N * H)
+
+    num_q, num_k = Tp // bq, Sp // bk
+    scale = 1.0 / math.sqrt(D)
+    kv_index = _kv_index_fn(causal, t0, bq, bk)
+
+    kern = _flash_kernel_lse if with_lse else _flash_kernel
+    kernel = functools.partial(
+        kern, causal=causal, t0=t0, bq=bq, bk=bk, d=Dp,
+        num_k=num_k, scale=scale)
+
+    out_shape = jax.ShapeDtypeStruct((N * H, Tp, Dp), q.dtype)
+    out_specs = pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0))
+    if with_lse:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((N * H, Tp), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -132,7 +277,7 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
             pl.BlockSpec((1, bk, Dp), kv_index),
             pl.BlockSpec((1, bk, Dp), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -140,20 +285,118 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
         ],
     )
 
-    try:
-        params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"))
-    except TypeError:
-        params = pltpu.CompilerParams()
-
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N * H, Tp, Dp), q.dtype),
-        compiler_params=params,
+        out_shape=out_shape,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(kvl, qp, kp, vp)
-    return out.reshape(N, H, Tp, Dp)[:, :, :T, :D]
+    if with_lse:
+        out, lse = res
+        return out.reshape(N, H, Tp, Dp)[:, :, :T, :D], lse
+    return res.reshape(N, H, Tp, Dp)[:, :, :T, :D]
+
+
+def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
+                    interpret=False, bq=128, bk=128):
+    """Kernelized dq/dk/dv. lse: (NH, Tp) from the forward."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, T, D = q.shape
+    S = k.shape[2]
+    qp, kp, vp, bq, bk, Tp, Sp, Dp = _pad_pack(q, k, v, bq, bk)
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D))) \
+        .reshape(N * H, Tp, Dp)
+    kvl = jnp.broadcast_to(kv_lengths[:, None], (N, H)).reshape(N * H)
+
+    # delta = rowsum(do * o): tiny elementwise reduce, XLA-fused
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Tp - T))) \
+        .reshape(N * H, Tp)
+
+    num_q, num_k = Tp // bq, Sp // bk
+    scale = 1.0 / math.sqrt(D)
+    kv_index = _kv_index_fn(causal, t0, bq, bk)
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, causal=causal, t0=t0, bq=bq, bk=bk,
+        num_k=num_k, scale=scale)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(N * H, num_q, num_k),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+                pl.BlockSpec((1, bk, Dp), kv_index),
+                pl.BlockSpec((1, bk, Dp), kv_index),
+                pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+                pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)),
+                pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dp),
+                                   lambda nh, qi, kb: (nh, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((bq, Dp), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N * H, Tp, Dp), q.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(kvl, qp, kp, vp, dop, lse, delta)
+
+    # dk/dv: grid sequential over q blocks; for causal, skip q blocks
+    # before the diagonal by clamping (DMA-elision like the forward)
+    if causal:
+        def q_index(nh, kb, qi):
+            first_needed = jnp.maximum((kb * bk - t0) // bq, 0)
+            return (nh, jnp.maximum(qi, first_needed), 0)
+
+        def q_index2(nh, kb, qi):
+            first_needed = jnp.maximum((kb * bk - t0) // bq, 0)
+            return (nh, jnp.maximum(qi, first_needed))
+    else:
+        def q_index(nh, kb, qi):
+            return (nh, qi, 0)
+
+        def q_index2(nh, kb, qi):
+            return (nh, qi)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel, causal=causal, t0=t0, bq=bq, bk=bk,
+        num_q=num_q, scale=scale)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(N * H, num_k, num_q),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, bq, Dp), q_index),
+                pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
+                pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
+                pl.BlockSpec((1, bq, Dp), q_index),
+                pl.BlockSpec((1, bq), q_index2),
+                pl.BlockSpec((1, bq), q_index2),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
+                pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
+            ),
+            scratch_shapes=[pltpu.VMEM((bk, Dp), jnp.float32),
+                            pltpu.VMEM((bk, Dp), jnp.float32)],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((N * H, Sp, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((N * H, Sp, Dp), v.dtype)),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(kvl, qp, kp, vp, dop, lse, delta)
+
+    dq = dq.reshape(N, H, Tp, Dp)[:, :, :T, :D]
+    dk = dk.reshape(N, H, Sp, Dp)[:, :, :S, :D]
+    dv = dv.reshape(N, H, Sp, Dp)[:, :, :S, :D]
+    return dq, dk, dv
 
 
 def _reference(q, k, v, kv_lengths, causal, t0):
@@ -179,16 +422,15 @@ def flash_attention(q, k, v, kv_lengths, causal=False, t0=0, interpret=False):
 
 
 def _fwd(q, k, v, kv_lengths, causal, t0, interpret):
-    out = _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=interpret)
-    return out, (q, k, v, kv_lengths)
+    out, lse = _flash_forward(q, k, v, kv_lengths, causal, t0,
+                              interpret=interpret, with_lse=True)
+    return out, (q, k, v, kv_lengths, out, lse)
 
 
 def _bwd(causal, t0, interpret, res, g):
-    q, k, v, kv_lengths = res
-    # Recompute-based backward through the XLA reference path.
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, kv_lengths, causal, t0),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_lengths, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse,
+                                 g, interpret=interpret)
     return dq, dk, dv, None
 
 
