@@ -101,7 +101,7 @@ def _flash_kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(kb == num_k - 1)
     def _emit_lse():
         l = jnp.maximum(l_ref[:], 1e-30)
-        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0]
+        lse_ref[0] = m_ref[:] + jnp.log(l)
 
 
 def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -134,13 +134,13 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             masked = masked | (cols > rows)
         qk = jnp.where(masked, NEG_INF, qk)
 
-        p = jnp.exp(qk - lse_ref[0][:, None])                # (bq, bk)
+        p = jnp.exp(qk - lse_ref[0])                         # (bq, bk)
         p = jnp.where(masked, 0.0, p)
         do = do_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0])
         acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -180,7 +180,7 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             masked = masked | (cols > rows)
         qk = jnp.where(masked, NEG_INF, qk)
-        p = jnp.exp(qk - lse_ref[0][:, None])
+        p = jnp.exp(qk - lse_ref[0])
         p = jnp.where(masked, 0.0, p)
 
         do = do_ref[0].astype(jnp.float32)
@@ -191,7 +191,7 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0])
         # dk += ds^T @ (q * scale)  [q already scaled]
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -210,7 +210,10 @@ def _pad_pack(q, k, v, bq, bk):
     bk = min(bk, _next_multiple(S, 128))
     Tp = _next_multiple(T, bq)
     Sp = _next_multiple(S, bk)
-    Dp = _next_multiple(D, 128)
+    # D is NOT padded to 128: a block whose last dim equals the array
+    # dim is legal, and padding would double the MXU work for head_dim
+    # 64. Only tiny head dims get padded up to the fp32 sublane width.
+    Dp = D if D % 8 == 0 else _next_multiple(D, 8)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
@@ -264,9 +267,10 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
     out_specs = pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0))
     if with_lse:
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((N * H, Tp), jnp.float32))
+                     jax.ShapeDtypeStruct((N * H, Tp, 1), jnp.float32))
         out_specs = (out_specs,
-                     pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)))
+                     pl.BlockSpec((1, bq, 1),
+                                  lambda nh, qi, kb: (nh, qi, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -314,7 +318,7 @@ def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
     # delta = rowsum(do * o): tiny elementwise reduce, XLA-fused
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Tp - T))) \
-        .reshape(N * H, Tp)
+        .reshape(N * H, Tp, 1)
 
     num_q, num_k = Tp // bq, Sp // bk
     scale = 1.0 / math.sqrt(D)
@@ -334,8 +338,8 @@ def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
                 pl.BlockSpec((1, bk, Dp), kv_index),
                 pl.BlockSpec((1, bk, Dp), kv_index),
                 pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
-                pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)),
-                pl.BlockSpec((1, bq), lambda nh, qi, kb: (nh, qi)),
+                pl.BlockSpec((1, bq, 1), lambda nh, qi, kb: (nh, qi, 0)),
+                pl.BlockSpec((1, bq, 1), lambda nh, qi, kb: (nh, qi, 0)),
             ],
             out_specs=pl.BlockSpec((1, bq, Dp),
                                    lambda nh, qi, kb: (nh, qi, 0)),
@@ -355,13 +359,13 @@ def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
 
         def q_index2(nh, kb, qi):
             first_needed = jnp.maximum((kb * bk - t0) // bq, 0)
-            return (nh, jnp.maximum(qi, first_needed))
+            return (nh, jnp.maximum(qi, first_needed), 0)
     else:
         def q_index(nh, kb, qi):
             return (nh, qi, 0)
 
         def q_index2(nh, kb, qi):
-            return (nh, qi)
+            return (nh, qi, 0)
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, causal=causal, t0=t0, bq=bq, bk=bk,
@@ -377,8 +381,8 @@ def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
                 pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
                 pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),
                 pl.BlockSpec((1, bq, Dp), q_index),
-                pl.BlockSpec((1, bq), q_index2),
-                pl.BlockSpec((1, bq), q_index2),
+                pl.BlockSpec((1, bq, 1), q_index2),
+                pl.BlockSpec((1, bq, 1), q_index2),
             ],
             out_specs=(
                 pl.BlockSpec((1, bk, Dp), lambda nh, kb, qi: (nh, kb, 0)),

@@ -20,7 +20,7 @@ def main():
     v = jnp.asarray(rng.normal(size=(N, H, T, D)).astype(np.float32))
     kvl = jnp.asarray(np.array([T, T - 100, T - 333, T // 2], np.int32))
 
-    for causal in (False, True):
+    for causal in ([] if len(sys.argv) > 1 else (False, True)):
         gf = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             flash_attention(q, k, v, kvl, causal, 0) ** 2),
             argnums=(0, 1, 2)))(q, k, v)
@@ -32,7 +32,7 @@ def main():
               [f"{d:.2e}" for d in diffs], flush=True)
 
     # timing fwd+bwd at T=4096 bf16 causal
-    T2 = 4096
+    T2 = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     q2 = jnp.asarray(rng.normal(size=(N, H, T2, D)), dtype=jnp.bfloat16)
     k2 = jnp.asarray(rng.normal(size=(N, H, T2, D)), dtype=jnp.bfloat16)
     v2 = jnp.asarray(rng.normal(size=(N, H, T2, D)), dtype=jnp.bfloat16)
