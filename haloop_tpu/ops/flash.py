@@ -431,10 +431,21 @@ def _fwd(q, k, v, kv_lengths, causal, t0, interpret):
     return out, (q, k, v, kv_lengths, out, lse)
 
 
+_BWD_KERNEL_MIN_S = 2048   # below this, XLA's materialized backward is
+                           # faster (PERFORMANCE.md crossover table);
+                           # above it, the T^2 buffers stop fitting HBM
+
+
 def _bwd(causal, t0, interpret, res, g):
     q, k, v, kv_lengths, o, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse,
-                                 g, interpret=interpret)
+    if k.shape[-2] >= _BWD_KERNEL_MIN_S or interpret:
+        dq, dk, dv = _flash_backward(q, k, v, kv_lengths, causal, t0, o,
+                                     lse, g, interpret=interpret)
+    else:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference(q, k, v, kv_lengths, causal, t0),
+            q, k, v)
+        dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
