@@ -57,7 +57,10 @@ def ctc_forward_score(log_probs, targets, input_lengths, target_lengths):
     def final_score(alpha):
         idx = jnp.stack([s_last, jnp.maximum(s_last - 1, 0)], axis=-1)  # (N, 2)
         vals = jnp.take_along_axis(alpha, idx, axis=-1)
-        return logaddexp(vals[:, 0], vals[:, 1])
+        # with empty targets (s_last == 0) there is only the blank state;
+        # don't count it twice
+        second = jnp.where(s_last > 0, vals[:, 1], NEG_INF)
+        return logaddexp(vals[:, 0], second)
 
     def step(carry, inp):
         alpha, final = carry

@@ -84,3 +84,16 @@ def test_ctc_repeated_labels():
         torch.tensor(np.asarray(lp)), torch.tensor(np.asarray(tg)),
         torch.tensor([15]), torch.tensor([5]), blank=0, reduction="none")
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_empty_target_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    lp = jax.nn.log_softmax(jnp.array(rng.normal(size=(6, 1, 4)),
+                                      jnp.float32), -1)
+    got = ctc_forward_score(lp, jnp.zeros((1, 1), jnp.int32),
+                            jnp.array([6]), jnp.array([0]))
+    want = torch.nn.functional.ctc_loss(
+        torch.tensor(np.asarray(lp)), torch.zeros(1, 1, dtype=torch.long),
+        torch.tensor([6]), torch.tensor([0]), blank=0, reduction="none")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5)
