@@ -123,6 +123,16 @@ class System:
 
     def _decode_impl(self, params, feats, feat_lens, target_lengths,
                      prompt=None, key=None, *, max_steps, train=False):
+        if self.spec.recognizer.kind == "ctc" and self.args.beam > 1:
+            from haloop_tpu.models.recognizer import \
+                temporal_classifier_log_probs
+            from haloop_tpu.ops.beam_device import ctc_beam_search_batched
+            lp = temporal_classifier_log_probs(
+                params["recognizer"], feats, key=key, train=train)
+            prefixes, lens, scores = ctc_beam_search_batched(
+                lp, feat_lens, beam_width=self.args.beam)
+            return (prefixes[:, 0], jnp.maximum(lens[:, 0], 0),
+                    scores[:, 0], None)
         if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,
@@ -529,6 +539,9 @@ def make_parser():
     parser.add_argument('--dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
                         help="encoder compute dtype (losses stay fp32)")
+    parser.add_argument('--beam', type=int, default=1,
+                        help="CTC beam width for eval decoding (1=greedy; "
+                             "on-device batched prefix beam search)")
     parser.add_argument('--profile', type=int, default=0,
                         help="capture a jax profiler trace of this many "
                              "training steps into <exp>/profile")

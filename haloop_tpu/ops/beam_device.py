@@ -1,0 +1,151 @@
+"""Batched on-device CTC prefix beam search.
+
+The reference's prefix search (ha/beam.py) is a python dict-of-prefixes
+loop ("FIXME: speed it up", used at ha/recognizer.py:58). This is the
+fixed-beam reformulation SURVEY.md §7 calls for: beam state lives in
+fixed-shape arrays, every frame is one vectorized update inside a
+``lax.scan``, and the whole batch decodes in a single jitted call.
+
+Exactness: with beam width K this computes the same beams as the exact
+dict algorithm restricted to K survivors. The only cross-candidate
+merge that can occur is an extension of beam j colliding with an
+existing beam i's prefix (extensions of distinct prefixes are pairwise
+distinct); that case is detected with a K×K prefix-prefix match and
+folded into beam i's non-blank mass, and tests assert exact score
+equality with the host implementation.
+
+State per item:
+  prefixes (K, L) int32, lens (K,), p_b (K,), p_nb (K,)
+Per frame: K stay-candidates + K*V extension-candidates -> top-K.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from haloop_tpu.ops.semiring import NEG_INF, logaddexp
+
+
+def _frame_update(state, logp, K, V, L):
+    prefixes, lens, p_b, p_nb = state
+    total = logaddexp(p_b, p_nb)                      # (K,)
+
+    last = jnp.take_along_axis(
+        prefixes, jnp.maximum(lens - 1, 0)[:, None], axis=1)[:, 0]
+    last = jnp.where(lens > 0, last, -1)              # (K,)
+    valid = lens >= 0
+
+    # ---- stay candidates: same prefix
+    stay_pb = jnp.where(valid, total + logp[0], NEG_INF)
+    rep = jnp.where(last >= 0, logp[jnp.maximum(last, 0)], NEG_INF)
+    stay_pnb = jnp.where(valid & (last >= 0), p_nb + rep, NEG_INF)
+
+    # ---- extension candidates: (K, V), token c appended to beam j
+    base = jnp.where(jnp.arange(V)[None, :] == last[:, None],
+                     p_b[:, None], total[:, None])    # repeat needs a blank
+    ext = base + logp[None, :]                        # (K, V)
+    ext = jnp.where(valid[:, None], ext, NEG_INF)
+    ext = ext.at[:, 0].set(NEG_INF)                   # blank never extends
+
+    # ---- merge extensions that equal an existing beam's prefix:
+    # ext(j, c) == prefix_i  iff  len_i == len_j + 1, prefix_i[:len_j]
+    # == prefix_j[:len_j], and c == last_i.
+    pos = jnp.arange(L)[None, None, :]
+    eq = (prefixes[None, :, :] == prefixes[:, None, :]) | \
+        (pos >= lens[:, None, None])                  # compare first len_j
+    pp_match = jnp.all(eq, axis=-1) & \
+        (lens[None, :] == lens[:, None] + 1) & \
+        valid[:, None] & valid[None, :]               # (K j, K i)
+
+    merge_tok = jnp.where(pp_match, last[None, :], 0)  # c to merge, per (j,i)
+    merge_score = jnp.where(
+        pp_match,
+        jnp.take_along_axis(ext, merge_tok, axis=1),
+        NEG_INF)                                       # (K, K)
+    # fold into stay i's non-blank mass
+    add_i = _logsumexp_cols(merge_score)               # (K,)
+    stay_pnb = logaddexp(stay_pnb, add_i)
+    # remove merged extensions from the candidate pool
+    ext = _scatter_neg_inf(ext, pp_match, merge_tok)
+
+    # ---- top-K over all candidates
+    stay_total = logaddexp(stay_pb, stay_pnb)
+    all_scores = jnp.concatenate([stay_total, ext.reshape(-1)])
+    _, top_idx = jax.lax.top_k(all_scores, K)
+
+    is_stay = top_idx < K
+    stay_j = jnp.where(is_stay, top_idx, 0)
+    ext_flat = jnp.maximum(top_idx - K, 0)
+    ext_j = ext_flat // V
+    ext_c = ext_flat % V
+    parent = jnp.where(is_stay, stay_j, ext_j)
+
+    new_prefixes = prefixes[parent]                    # (K, L)
+    new_lens = lens[parent]
+    append_pos = jnp.clip(new_lens, 0, L - 1)
+    appended = jax.vmap(
+        lambda row, p, c: row.at[p].set(c))(new_prefixes, append_pos,
+                                            ext_c.astype(prefixes.dtype))
+    new_prefixes = jnp.where(is_stay[:, None], new_prefixes, appended)
+    new_lens = jnp.where(is_stay, new_lens,
+                         jnp.minimum(new_lens + 1, L))
+    new_pb = jnp.where(is_stay, stay_pb[stay_j], NEG_INF)
+    new_pnb = jnp.where(is_stay, stay_pnb[stay_j],
+                        ext.reshape(-1)[ext_flat])
+    # candidates that scored NEG_INF are dead: mark invalid
+    chosen = all_scores[top_idx]
+    new_lens = jnp.where(chosen <= NEG_INF / 2, -1, new_lens)
+    return new_prefixes, new_lens, new_pb, new_pnb
+
+
+def _logsumexp_cols(m):
+    """logaddexp-reduce each column of (K, K), NEG_INF-safe."""
+    out = jnp.full((m.shape[1],), NEG_INF)
+    for j in range(m.shape[0]):
+        out = logaddexp(out, m[j])
+    return out
+
+
+def _scatter_neg_inf(ext, pp_match, merge_tok):
+    K = ext.shape[0]
+    for i in range(K):
+        row_mask = pp_match[:, i]
+        tok = merge_tok[:, i]
+        onehot = jax.nn.one_hot(tok, ext.shape[1], dtype=bool) & \
+            row_mask[:, None]
+        ext = jnp.where(onehot, NEG_INF, ext)
+    return ext
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width",))
+def ctc_beam_search_batched(log_probs, lengths, beam_width=8):
+    """log_probs: (N, T, V) log-softmaxed, blank=0; lengths: (N,).
+
+    Returns (prefixes (N, K, T), lens (N, K), scores (N, K)) sorted
+    best-first; invalid beams have len -1.
+    """
+    N, T, V = log_probs.shape
+    K, L = beam_width, T
+
+    prefixes0 = jnp.zeros((K, L), jnp.int32)
+    lens0 = jnp.full((K,), -1, jnp.int32).at[0].set(0)
+    pb0 = jnp.full((K,), NEG_INF).at[0].set(0.0)
+    pnb0 = jnp.full((K,), NEG_INF)
+
+    def decode_one(lp, length):
+        def step(state, inp):
+            frame, t = inp
+            new_state = _frame_update(state, frame, K, V, L)
+            state = jax.tree.map(
+                lambda n, o: jnp.where(t < length, n, o), new_state, state)
+            return state, None
+
+        state, _ = jax.lax.scan(
+            step, (prefixes0, lens0, pb0, pnb0), (lp, jnp.arange(T)))
+        prefixes, lens, p_b, p_nb = state
+        scores = logaddexp(p_b, p_nb)
+        order = jnp.argsort(-scores)
+        return prefixes[order], lens[order], scores[order]
+
+    return jax.vmap(decode_one)(log_probs, lengths)
