@@ -118,6 +118,99 @@ def _scatter_neg_inf(ext, pp_match, merge_tok):
     return ext
 
 
+def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
+                                   lm_layers=2, lm_dim=512,
+                                   max_symbols=None):
+    """Batched on-device monotonic RNN-T beam search.
+
+    Monotonic = at most one label per frame (each frame every beam
+    either settles with blank or emits exactly one label); adequate for
+    speech where labels span many frames, and it keeps all shapes fixed.
+    With beam_width=1 this equals monotonic greedy decoding. Beams carry
+    their own prediction-net LSTM state; selected extensions advance it
+    batched over K.
+
+    p: transducer params (models/recognizer.transducer_init layout).
+    features: (N, T, F); lengths: (N,).
+    Returns (tokens (N, K, U), ulens (N, K), scores (N, K)) best-first.
+    """
+    from haloop_tpu.models import rnn as R
+    from haloop_tpu.nn.core import linear
+
+    N, T, F = features.shape
+    V = p["classifier"]["weight"].shape[0]
+    K = beam_width
+    U = max_symbols or T
+
+    f_all = linear(p["classifier"], features)          # (N, T, V)
+
+    def lm_step(tokens, h, c):
+        """Batched prediction-net step over K beams."""
+        logits, (h, c) = R.decoder_step(
+            p["lm"], tokens, (h, c), num_layers=lm_layers)
+        return logits, h, c
+
+    def decode_one(f, length):
+        tokens0 = jnp.zeros((K, U), jnp.int32)
+        ulens0 = jnp.zeros((K,), jnp.int32)
+        score0 = jnp.full((K,), NEG_INF).at[0].set(0.0)
+        h0 = jnp.zeros((lm_layers, K, lm_dim))
+        c0 = jnp.zeros((lm_layers, K, lm_dim))
+        g0, h0, c0 = lm_step(jnp.zeros((K,), jnp.int32), h0, c0)
+
+        def frame(state, inp):
+            tokens, ulens, score, h, c, g = state
+            f_t, t = inp
+            joint = jax.nn.log_softmax(
+                (f_t[None, :] + g).astype(jnp.float32), -1)   # (K, V)
+
+            settle = score + joint[:, 0]                      # (K,)
+            extend = score[:, None] + joint                   # (K, V)
+            extend = extend.at[:, 0].set(NEG_INF)
+            extend = jnp.where(ulens[:, None] >= U, NEG_INF, extend)
+
+            allc = jnp.concatenate([settle, extend.reshape(-1)])
+            top_score, top_idx = jax.lax.top_k(allc, K)
+            is_settle = top_idx < K
+            parent = jnp.where(is_settle, top_idx,
+                               (top_idx - K) // V)
+            tok = jnp.where(is_settle, 0, (top_idx - K) % V)
+
+            new_tokens = tokens[parent]
+            new_ulens = ulens[parent]
+            pos = jnp.clip(new_ulens, 0, U - 1)
+            appended = jax.vmap(lambda r, q, c_: r.at[q].set(c_))(
+                new_tokens, pos, tok)
+            new_tokens = jnp.where(is_settle[:, None], new_tokens,
+                                   appended)
+            new_ulens = jnp.where(is_settle, new_ulens,
+                                  jnp.minimum(new_ulens + 1, U))
+            new_h = h[:, parent]
+            new_c = c[:, parent]
+            new_g = g[parent]
+
+            # advance the prediction net for extended beams
+            g2, h2, c2 = lm_step(tok, new_h, new_c)
+            new_g = jnp.where(is_settle[:, None], new_g, g2)
+            new_h = jnp.where(is_settle[None, :, None], new_h, h2)
+            new_c = jnp.where(is_settle[None, :, None], new_c, c2)
+
+            new = (new_tokens, new_ulens, top_score, new_h, new_c, new_g)
+            cur = (tokens, ulens, score, h, c, g)
+            return jax.tree.map(
+                lambda n, o: jnp.where(
+                    jnp.reshape(t < length, (1,) * n.ndim), n, o),
+                new, cur), None
+
+        state0 = (tokens0, ulens0, score0, h0, c0, g0)
+        state, _ = jax.lax.scan(frame, state0, (f, jnp.arange(T)))
+        tokens, ulens, score = state[0], state[1], state[2]
+        order = jnp.argsort(-score)
+        return tokens[order], ulens[order], score[order]
+
+    return jax.vmap(decode_one)(f_all, lengths)
+
+
 @functools.partial(jax.jit, static_argnames=("beam_width",))
 def ctc_beam_search_batched(log_probs, lengths, beam_width=8):
     """log_probs: (N, T, V) log-softmaxed, blank=0; lengths: (N,).
