@@ -148,6 +148,9 @@ def make_train_step(cfg, args, tx, compute_dtype, use_lora):
 
 def main():
     args = make_parser().parse_args()
+
+    from haloop_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     if args.train is None and args.eval is None:
         raise SystemExit("at least one of --train and --eval is required")
     print(args, file=sys.stderr)

@@ -552,6 +552,9 @@ def main():
     args = make_parser().parse_args()
     log(args)
 
+    from haloop_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+
     if args.anomaly:
         jax.config.update("jax_debug_nans", True)
 

@@ -48,3 +48,17 @@ def replicate(mesh, tree):
 
 def is_master():
     return jax.process_index() == 0
+
+
+def maybe_init_distributed():
+    """Multi-host bring-up: call jax.distributed.initialize() when a
+    coordinator is configured (the TPU-native replacement for the
+    reference's RANK/LOCAL_RANK NCCL rendezvous,
+    ha/attention_loop.py:67-73). No-op on single-host runs."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized / single process
+            print(f"jax.distributed.initialize skipped: {e}")
