@@ -68,11 +68,13 @@ class Collator:
 
 
 class DataLoader:
-    """Iterates dataset indices in batches, collates on a worker thread,
-    prefetching `prefetch` batches ahead."""
+    """Iterates dataset indices in batches, collating on `num_workers`
+    threads (numpy releases the GIL for the heavy ops) with ordered
+    delivery, prefetching `prefetch` batches ahead."""
 
     def __init__(self, dataset, collate_fn, batch_size=None, shuffle=False,
-                 drop_last=False, batch_sampler=None, seed=0, prefetch=2):
+                 drop_last=False, batch_sampler=None, seed=0, prefetch=4,
+                 num_workers=1):
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
@@ -80,7 +82,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.batch_sampler = batch_sampler
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, num_workers + 1)
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def _index_batches(self):
@@ -106,6 +109,13 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        self.epoch += 1
+        if self.num_workers == 1:
+            yield from self._iter_single()
+        else:
+            yield from self._iter_pool()
+
+    def _iter_single(self):
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
@@ -119,9 +129,7 @@ class DataLoader:
             finally:
                 q.put(sentinel)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        self.epoch += 1
+        threading.Thread(target=worker, daemon=True).start()
         while True:
             item = q.get()
             if item is sentinel:
@@ -129,3 +137,31 @@ class DataLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _iter_pool(self):
+        """Thread pool with in-order delivery."""
+        import concurrent.futures as cf
+
+        def load(idx_batch):
+            return self.collate_fn([self.dataset[i] for i in idx_batch])
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = {}
+            batches = enumerate(self._index_batches())
+            next_submit = 0
+            next_yield = 0
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < self.prefetch:
+                    try:
+                        i, idx_batch = next(batches)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending[i] = pool.submit(load, idx_batch)
+                    next_submit = i + 1
+                if next_yield not in pending:
+                    break
+                fut = pending.pop(next_yield)
+                next_yield += 1
+                yield fut.result()

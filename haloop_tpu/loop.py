@@ -564,13 +564,16 @@ def main():
     valid_loader = test_loader = score_loader = None
     if args.eval:
         valid_loader = DataLoader(concat_datasets(args.eval), collator,
-                                  batch_size=args.eval_batch_size)
+                                  batch_size=args.eval_batch_size,
+                                  num_workers=args.num_workers)
     if args.test:
         test_loader = DataLoader(concat_datasets(args.test), collator,
-                                 batch_size=args.eval_batch_size)
+                                 batch_size=args.eval_batch_size,
+                                 num_workers=args.num_workers)
     if args.score:
         score_loader = DataLoader(concat_datasets(args.score), collator,
-                                  batch_size=args.eval_batch_size)
+                                  batch_size=args.eval_batch_size,
+                                  num_workers=args.num_workers)
 
     (spec, params), epoch, global_step = Initializer()(args)
     system = System(args, spec, params, vocab)
@@ -585,7 +588,8 @@ def main():
     if args.train:
         train_loader = DataLoader(concat_datasets(args.train), collator,
                                   batch_size=args.batch_size, shuffle=True,
-                                  drop_last=True, seed=args.seed)
+                                  drop_last=True, seed=args.seed,
+                                  num_workers=args.num_workers)
         log('total training minibatches:',
             len(train_loader) * args.num_epochs)
         checkpoint = Checkpointer(path=args.exp, save=args.save)
