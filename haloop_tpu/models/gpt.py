@@ -20,13 +20,11 @@ compiles once; ``generate`` runs the whole token loop on device via
 """
 
 import dataclasses
-import math
-
 import jax
 import jax.numpy as jnp
 
 from haloop_tpu.nn.core import (
-    dropout, embedding, embedding_init, layer_norm, layer_norm_init,
+    dropout, embedding, layer_norm, layer_norm_init,
     linear, linear_init, new_gelu)
 from haloop_tpu.ops.attention import attend
 from haloop_tpu.ops.rope import rotate_interleaved

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from haloop_tpu.nn.core import (
     dropout, embedding, embedding_init, layer_norm, layer_norm_init,
     linear, linear_init, new_gelu)
-from haloop_tpu.ops.attention import attend, causal_mask
+from haloop_tpu.ops.attention import attend
 from haloop_tpu.ops.rope import rotate_interleaved
 from haloop_tpu.models.conv import conv_encoder, conv_encoder_init, \
     conv_encoder_subsampled_lengths
