@@ -93,6 +93,27 @@ def mha_apply(p, x, memory, *, heads, mask=None, causal=False,
     return y, ent
 
 
+def init_from_fused_qkv(wqkv, out_proj):
+    """Split a fused-QKV attention weight (3d, d) + output projection
+    into this module's separate q/k/v/proj params — the flash-MHA ↔
+    split-qkv transplant of ha/transformer.py:274-282 and the dormant
+    remaps in ha/loop.py:63-97."""
+    d = wqkv.shape[0] // 3
+    return {
+        "q": {"weight": wqkv[0 * d:1 * d]},
+        "k": {"weight": wqkv[1 * d:2 * d]},
+        "v": {"weight": wqkv[2 * d:3 * d]},
+        "proj": {"weight": out_proj},
+    }
+
+
+def fuse_qkv(p):
+    """Inverse transplant: split q/k/v -> fused (3d, d) + out_proj."""
+    import jax.numpy as jnp
+    return jnp.concatenate([p["q"]["weight"], p["k"]["weight"],
+                            p["v"]["weight"]], axis=0), p["proj"]["weight"]
+
+
 def mha_read_memory(p, memory, heads, rope=False):
     """Precompute cross-attention K/V (or pre-rotated self K) once."""
     k = _split_heads(linear(p["k"], memory), heads)
