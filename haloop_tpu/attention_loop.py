@@ -69,6 +69,9 @@ def make_parser():
     LR.add_arguments(parser)
     parser.add_argument("--backend", type=str, default="ici",
                         help="(parity flag; comms ride ICI/DCN via XLA)")
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="shard attention/MLP over a 'model' mesh "
+                             "axis of this size (Megatron layout)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--wandb", action="store_true")
     return parser
@@ -155,7 +158,16 @@ def main():
         raise SystemExit("at least one of --train and --eval is required")
     print(args, file=sys.stderr)
 
-    mesh = data_mesh()
+    import numpy as _np
+    from jax.sharding import Mesh
+    tp = max(1, args.tensor_parallel)
+    n_dev = len(jax.devices())
+    if tp > 1:
+        assert n_dev % tp == 0, f"{n_dev} devices not divisible by tp={tp}"
+        mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // tp, tp),
+                    ("data", "model"))
+    else:
+        mesh = data_mesh()
     master = is_master()
     rng = np.random.default_rng(1337 + jax.process_index())
 
@@ -171,6 +183,10 @@ def main():
     assert isinstance(spec, GPTModel)
     cfg = spec.config
     assert args.block_size == cfg.block_size, "Block sizes don't match"
+
+    if tp > 1:
+        from haloop_tpu.parallel.tensor import shard_gpt_params
+        params = shard_gpt_params(mesh, params)
 
     trainable_mask = None
     if args.lora:
