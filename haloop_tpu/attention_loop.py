@@ -110,17 +110,14 @@ def cast_tree(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
-def make_train_step(cfg, args, tx, compute_dtype, use_lora):
+def make_train_step(cfg, args, tx, compute_dtype):
     """One jitted update: scan over micro-batches accumulating grads,
     clip, AdamW. Batch arrays are sharded over the data mesh outside."""
 
     def loss_fn(params, x, y, key):
+        # LoRA params (lora_A/lora_B) ride along in the pytree and are
+        # consumed by gpt._attn's low-rank path (models/gpt.py).
         fparams = cast_tree(params, compute_dtype)
-        if use_lora:
-            # lora_linear path is inside the standard c_attn apply via
-            # params carrying lora_A/B; gpt._attn uses linear() which
-            # ignores them — patch by folding at compute time instead:
-            pass
         return G.forward_all(fparams, cfg, x, y, key=key,
                              train=cfg.dropout > 0)
 
@@ -142,9 +139,24 @@ def make_train_step(cfg, args, tx, compute_dtype, use_lora):
             scale = jnp.minimum(1.0, args.grad_clip / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, jnp.mean(losses), gnorm
+        # NaN/Inf guard inside jit (reference skips the optimizer step
+        # before stepping, ha/attention_loop.py:209-214): a non-finite
+        # loss or grad norm leaves params and opt_state untouched.
+        mean_loss = jnp.mean(losses)
+        ok = jnp.isfinite(mean_loss) & jnp.isfinite(gnorm)
+
+        def apply(operand):
+            params, opt_state, grads = operand
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        def skip(operand):
+            params, opt_state, _ = operand
+            return params, opt_state
+
+        params, opt_state = jax.lax.cond(ok, apply, skip,
+                                         (params, opt_state, grads))
+        return params, opt_state, mean_loss, gnorm
 
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -220,7 +232,7 @@ def main():
             tx)
     opt_state = tx.init(params)
 
-    train_step = make_train_step(cfg, args, tx, compute_dtype, args.lora)
+    train_step = make_train_step(cfg, args, tx, compute_dtype)
 
     fcast = partial(cast_tree, dtype=compute_dtype)
 
@@ -293,30 +305,35 @@ def main():
                   f"time {dt*1000:.2f}ms, grad_norm: {float(grad_norm):.3f},"
                   f" lr: {lr}")
 
-            log_dict = {"train/grad_norm": float(grad_norm)}
-            if iter_num and iter_num % args.eval_interval == 0 and val_data \
-                    is not None:
-                val_loss, val_bpb = evaluate()
-                print(f"eval {iter_num}: val loss {val_loss:.4f}")
-                log_dict["val/loss"] = val_loss
-                log_dict["val/bpb"] = val_bpb
-                if not math.isnan(val_loss):
-                    checkpoint(loss=val_loss, epoch=iter_num,
-                               checkpoint_fn=lambda: {
-                                   'model': params,
-                                   'optimizer': opt_state,
-                                   'model_args': cfg.state_dict(),
-                                   'iter_num': iter_num,
-                                   'val_loss': val_loss,
-                                   'val_bpb': val_bpb,
-                                   'args': vars(args),
-                               })
-                else:
-                    print("NaN loss detected")
-                    break
             if args.wandb:
-                wandb.log(log_dict | {"iter": iter_num,
-                                      "train/loss": float(loss), "lr": lr})
+                wandb.log({"iter": iter_num, "train/loss": float(loss),
+                           "train/grad_norm": float(grad_norm), "lr": lr})
+
+        # eval/checkpoint gate is independent of --log-interval (the
+        # reference nests it inside the log gate, so --eval-interval
+        # silently no-ops unless it is a multiple of --log-interval;
+        # fixed here deliberately)
+        if iter_num and iter_num % args.eval_interval == 0 and val_data \
+                is not None and master:
+            val_loss, val_bpb = evaluate()
+            print(f"eval {iter_num}: val loss {val_loss:.4f}")
+            if args.wandb:
+                wandb.log({"iter": iter_num, "val/loss": val_loss,
+                           "val/bpb": val_bpb})
+            if not math.isnan(val_loss):
+                checkpoint(loss=val_loss, epoch=iter_num,
+                           checkpoint_fn=lambda: {
+                               'model': params,
+                               'optimizer': opt_state,
+                               'model_args': cfg.state_dict(),
+                               'iter_num': iter_num,
+                               'val_loss': val_loss,
+                               'val_bpb': val_bpb,
+                               'args': vars(args),
+                           })
+            else:
+                print("NaN loss detected")
+                break
 
         iter_num += 1
         if iter_num > max_iters:

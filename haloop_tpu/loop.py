@@ -37,6 +37,13 @@ from haloop_tpu.monitor import activation_stats, print_activation_stats
 from haloop_tpu.optim import LR, configure_optimizers
 
 
+def is_oom_error(e) -> bool:
+    """Device out-of-memory, as surfaced by XLA/PJRT (RESOURCE_EXHAUSTED)."""
+    msg = str(e)
+    return ('RESOURCE_EXHAUSTED' in msg or 'Out of memory' in msg
+            or 'out of memory' in msg)
+
+
 def global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x))
                         for x in jax.tree.leaves(tree)))
@@ -182,35 +189,49 @@ class System:
                 log(f'profiler trace written to {args.exp}/profile',
                     flush=True)
             step_key = self.next_key()
-            if args.accumulate == 1:
-                (self.params, self.opt_state, loss, grad_norm,
-                 bad) = self._train_step(
-                    self.params, self.opt_state, inputs, condtargets,
-                    input_lengths, condtarget_lengths, step_key,
-                    jnp.int32(global_step))
-                loss = float(loss)
-                if bad:
-                    log(f'[{epoch}, {global_step:5d}], loss or grad_norm '
-                        f'is not finite, skipping batch', flush=True)
+            try:
+                if args.accumulate == 1:
+                    (self.params, self.opt_state, loss, grad_norm,
+                     bad) = self._train_step(
+                        self.params, self.opt_state, inputs, condtargets,
+                        input_lengths, condtarget_lengths, step_key,
+                        jnp.int32(global_step))
+                    loss = float(loss)
+                    if bad:
+                        log(f'[{epoch}, {global_step:5d}], loss or grad_norm '
+                            f'is not finite, skipping batch', flush=True)
+                        continue
+                else:
+                    # micro-batch gradient accumulation
+                    loss, grads = self._micro_grads(
+                        inputs, condtargets, input_lengths,
+                        condtarget_lengths, step_key)
+                    loss = float(loss)
+                    if not np.isfinite(loss):
+                        log(f'[{epoch}, {global_step:5d}], loss is not '
+                            f'finite, skipping batch', flush=True)
+                        continue
+                    acc_grads = grads if acc_grads is None else jax.tree.map(
+                        jnp.add, acc_grads, grads)
+                    accum += 1
+                    if accum % args.accumulate:
+                        continue
+                    (self.params, self.opt_state,
+                     grad_norm) = self._apply_grads(
+                        self.params, self.opt_state, acc_grads)
+                    acc_grads = None
+            except Exception as e:
+                # per-batch OOM tolerance (reference catches RuntimeError
+                # under --allow-oom, ha/loop.py:157-165): XLA surfaces
+                # device OOM as RESOURCE_EXHAUSTED on the step call or
+                # the value fetch
+                if args.allow_oom and is_oom_error(e):
+                    log(f'[{epoch}, {global_step:5d}], out of memory on '
+                        f'batch of shape {inputs.shape}, skipping: {e}',
+                        flush=True)
+                    acc_grads = None
                     continue
-            else:
-                # micro-batch gradient accumulation
-                loss, grads = self._micro_grads(
-                    inputs, condtargets, input_lengths, condtarget_lengths,
-                    step_key)
-                loss = float(loss)
-                if not np.isfinite(loss):
-                    log(f'[{epoch}, {global_step:5d}], loss is not finite, '
-                        f'skipping batch', flush=True)
-                    continue
-                acc_grads = grads if acc_grads is None else jax.tree.map(
-                    jnp.add, acc_grads, grads)
-                accum += 1
-                if accum % args.accumulate:
-                    continue
-                self.params, self.opt_state, grad_norm = self._apply_grads(
-                    self.params, self.opt_state, acc_grads)
-                acc_grads = None
+                raise
 
             lr = self.lr.get_lr(global_step)
             global_step += 1

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from haloop_tpu.argparse import int_or_float
+
 
 class LR:
     """Schedule controller with the hac/hala flag surface."""
@@ -35,9 +37,11 @@ class LR:
         parser.add_argument('--lr_schedule', type=str,
                             choices=['const', 'cosine', 'linear', 'noam'],
                             default='cosine', help='Learning rate schedule')
-        parser.add_argument('--warmup_iters', default=2000,
+        parser.add_argument('--warmup_iters', type=int_or_float,
+                            default=2000,
                             help='Number or fraction of warm-up steps')
-        parser.add_argument('--lr_decay_iters', default=200000,
+        parser.add_argument('--lr_decay_iters', type=int_or_float,
+                            default=200000,
                             help='Number or fraction (<= 1.0) of steps for '
                                  'learning rate decay')
         parser.add_argument('--min_lr', type=float, default=6e-5,

@@ -7,15 +7,15 @@ try:
     init = _wandb.init
     log = _wandb.log
 
-    @property
-    def run():
-        return _wandb.run
-
     def get_run():
         return _wandb.run
-except ImportError:
-    _run = None
 
+    def __getattr__(name):
+        # `wandb.run` is live module state upstream; mirror it lazily
+        if name == "run":
+            return _wandb.run
+        raise AttributeError(name)
+except ImportError:
     def init(*args, **kwargs):
         return None
 

@@ -74,7 +74,7 @@ def test_gpt_train_step_runs():
     params = G.gpt_init(jax.random.PRNGKey(0), cfg)
     tx = optax.adamw(1e-3, mask=decay_mask)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, args, tx, jnp.float32, False)
+    step = make_train_step(cfg, args, tx, jnp.float32)
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.integers(1, 64, (2, 2, 32)))
@@ -82,6 +82,39 @@ def test_gpt_train_step_runs():
     params, opt_state, loss, gnorm = step(params, opt_state, X, Y,
                                           jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+
+
+def test_gpt_train_step_nan_skip():
+    """A NaN-producing batch must leave params untouched (the reference
+    skips the optimizer step, ha/attention_loop.py:209-214)."""
+    import optax
+    from haloop_tpu.attention_loop import make_train_step, make_parser as mp
+    from haloop_tpu.models import gpt as G
+    from haloop_tpu.optim import decay_mask
+
+    args = mp().parse_args(['--train', 'x', '--block_size', '16',
+                            '--batch_size', '2',
+                            '--gradient_accumulation_steps', '1',
+                            '--dtype', 'float32'])
+    cfg = G.GPTConfig(block_size=16, vocab_size=32, n_layer=1, n_head=2,
+                      n_embd=16)
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    # poison one weight so the forward loss is NaN
+    params['lm_head']['weight'] = (
+        params['lm_head']['weight'].at[:, 0].set(jnp.nan))
+    tx = optax.adamw(1e-3, mask=decay_mask)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, args, tx, jnp.float32)
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.integers(1, 32, (1, 2, 16)))
+    Y = jnp.asarray(rng.integers(1, 32, (1, 2, 16)))
+    before = jax.tree.map(np.asarray, params)
+    params2, opt2, loss, gnorm = step(params, opt_state, X, Y,
+                                      jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_graft_entry_dryrun():
