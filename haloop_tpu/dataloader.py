@@ -74,7 +74,7 @@ class DataLoader:
 
     def __init__(self, dataset, collate_fn, batch_size=None, shuffle=False,
                  drop_last=False, batch_sampler=None, seed=0, prefetch=4,
-                 num_workers=1):
+                 num_workers=1, process_shard=None):
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
@@ -84,16 +84,30 @@ class DataLoader:
         self.seed = seed
         self.prefetch = max(prefetch, num_workers + 1)
         self.num_workers = max(1, num_workers)
+        # multi-host: (process_index, process_count) — each host iterates
+        # a disjoint 1/count slice of the (epoch-shuffled) index stream,
+        # replacing torch's DistributedSampler (SURVEY.md §5.8)
+        self.process_shard = process_shard
         self.epoch = 0
+
+    def _indices(self):
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            # same permutation on every process (seed is shared), then a
+            # disjoint strided slice per process
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(indices)
+        if self.process_shard is not None:
+            pi, pc = self.process_shard
+            if pc > 1:
+                indices = indices[pi::pc]
+        return indices
 
     def _index_batches(self):
         if self.batch_sampler is not None:
             yield from self.batch_sampler
             return
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(indices)
+        indices = self._indices()
         for i in range(0, len(indices), self.batch_size):
             chunk = indices[i:i + self.batch_size].tolist()
             if self.drop_last and len(chunk) < self.batch_size:
@@ -103,7 +117,7 @@ class DataLoader:
     def __len__(self):
         if self.batch_sampler is not None:
             return sum(1 for _ in self.batch_sampler)
-        n = len(self.dataset)
+        n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

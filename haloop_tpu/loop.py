@@ -50,7 +50,7 @@ def global_norm(tree):
 
 
 class System:
-    def __init__(self, args, spec, params, vocab):
+    def __init__(self, args, spec, params, vocab, mesh='auto'):
         self.args = args
         self.spec = spec
         self.params = params
@@ -58,6 +58,19 @@ class System:
         self.tx, self.opt_state = configure_optimizers(params, args)
         self.lr = LR(args)
         self.key = jax.random.PRNGKey(args.seed)
+
+        # data parallelism (SURVEY.md §5.8): batch sharded over a 1-D
+        # 'data' mesh, params/opt state replicated; XLA inserts the
+        # gradient reduction inside the jitted step. 'auto' spans all
+        # visible devices; None forces single-device.
+        if mesh == 'auto':
+            from haloop_tpu.parallel import data_mesh
+            mesh = data_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
+        if self.mesh is not None:
+            from haloop_tpu.parallel.mesh import replicate
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
         self._eval_forward = jax.jit(
@@ -164,6 +177,15 @@ class System:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def shard(self, *arrays):
+        """Shard a batch's leading axis over the data mesh (no-op when
+        single-device or when the batch doesn't divide the mesh)."""
+        n = len(arrays[0])
+        if self.mesh is None or n % self.mesh.devices.size:
+            return arrays
+        from haloop_tpu.parallel.mesh import shard_batch
+        return tuple(shard_batch(self.mesh, a) for a in arrays)
+
     # ------------------------------------------------------------- train
 
     def train_one_epoch(self, epoch, global_step, train_loader,
@@ -189,6 +211,9 @@ class System:
                 log(f'profiler trace written to {args.exp}/profile',
                     flush=True)
             step_key = self.next_key()
+            inputs, condtargets, input_lengths, condtarget_lengths = \
+                self.shard(inputs, condtargets, input_lengths,
+                           condtarget_lengths)
             try:
                 if args.accumulate == 1:
                     (self.params, self.opt_state, loss, grad_norm,
@@ -304,6 +329,11 @@ class System:
         measure_entropy = bool(getattr(args, 'entropy', False))
         for i, (idxs, inputs, condtargets, input_lengths,
                 condtarget_lengths) in enumerate(loader):
+            host_condtargets = np.asarray(condtargets)
+            host_ct_lens = np.asarray(condtarget_lengths)
+            inputs, condtargets, input_lengths, condtarget_lengths = \
+                self.shard(inputs, condtargets, input_lengths,
+                           condtarget_lengths)
             out = self._eval_forward(
                 self.params, inputs, condtargets, input_lengths,
                 condtarget_lengths, self.next_key(), train=dropout_on,
@@ -357,12 +387,13 @@ class System:
 
                     valid_loss += float(loss)
 
+                    host_feat_lens = np.asarray(feat_lens)
                     for n in range(len(idxs)):
                         k = int(idxs[n])
                         le, we, hyp = self.print_example(
-                            k, condtargets[n], int(condtarget_lengths[n]),
+                            k, host_condtargets[n], int(host_ct_lens[n]),
                             hyps[n], int(out_lens[n]), None,
-                            int(feat_lens[n]), float(log_probs[n]),
+                            int(host_feat_lens[n]), float(log_probs[n]),
                             float(sum_ents[n]), epoch=epoch,
                             attempt=attempt, prompt=prompt)
                         label_errors += le
@@ -573,8 +604,9 @@ def main():
     args = make_parser().parse_args()
     log(args)
 
-    from haloop_tpu.parallel.mesh import maybe_init_distributed
+    from haloop_tpu.parallel.mesh import maybe_init_distributed, is_master
     maybe_init_distributed()
+    shard = (jax.process_index(), jax.process_count())
 
     if args.anomaly:
         jax.config.update("jax_debug_nans", True)
@@ -586,15 +618,18 @@ def main():
     if args.eval:
         valid_loader = DataLoader(concat_datasets(args.eval), collator,
                                   batch_size=args.eval_batch_size,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  process_shard=shard)
     if args.test:
         test_loader = DataLoader(concat_datasets(args.test), collator,
                                  batch_size=args.eval_batch_size,
-                                 num_workers=args.num_workers)
+                                 num_workers=args.num_workers,
+                                 process_shard=shard)
     if args.score:
         score_loader = DataLoader(concat_datasets(args.score), collator,
                                   batch_size=args.eval_batch_size,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  process_shard=shard)
 
     (spec, params), epoch, global_step = Initializer()(args)
     system = System(args, spec, params, vocab)
@@ -603,17 +638,22 @@ def main():
         if 'encoder' in ckpt:
             system.load_state_dict(ckpt)
 
-    if args.train or args.wandb:
+    if (args.train or args.wandb) and is_master():
         wandb.init(project='ha', config=vars(args), name=str(args.exp))
 
     if args.train:
         train_loader = DataLoader(concat_datasets(args.train), collator,
                                   batch_size=args.batch_size, shuffle=True,
                                   drop_last=True, seed=args.seed,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  process_shard=shard)
         log('total training minibatches:',
             len(train_loader) * args.num_epochs)
-        checkpoint = Checkpointer(path=args.exp, save=args.save)
+        # process-0-gated checkpointing (reference rank-0 gate,
+        # ha/attention_loop.py:74,95); params are replicated so every
+        # process holds the full state
+        checkpoint = Checkpointer(path=args.exp, save=args.save) \
+            if is_master() else (lambda **kw: None)
         for epoch in range(epoch, args.num_epochs):
             global_step = system.train_one_epoch(
                 epoch, global_step, train_loader, valid_loader)

@@ -79,3 +79,46 @@ def test_sequence_parallel_constraint():
             p, cfg, ids, tgt,
             activation_spec=P("data", "model", None)))(params))
     np.testing.assert_allclose(loss, ref, rtol=1e-5)
+
+
+def test_hac_data_parallel_matches_single_device():
+    """hac's System with the batch sharded over an 8-device 'data' mesh
+    produces the same loss and updated params as single-device
+    (VERDICT r1 item 2: the flagship trainer must shard its batch)."""
+    need_devices(8)
+    from haloop_tpu.data import make_dataset
+    from haloop_tpu.dataloader import Collator
+    from haloop_tpu.init import create_model
+    from haloop_tpu.loop import System, make_parser
+    from haloop_tpu.parallel import data_mesh
+    from haloop_tpu.symbol_tape import make_vocab
+
+    args = make_parser().parse_args(
+        ['--arch', 'lstm-tiny:512', '--vocab', '512', '--dtype', 'float32'])
+    vocab = make_vocab('512')
+    spec = create_model(args.arch)
+    params0 = spec.init(jax.random.PRNGKey(0))
+
+    ds = make_dataset('head:sinusoids0')
+    batch = Collator(vocab)([ds[i] for i in range(8)])
+    _, inputs, ct, il, tl = batch
+
+    results = []
+    for mesh in (None, data_mesh()):
+        system = System(args, spec,
+                        jax.tree.map(jnp.copy, params0), vocab, mesh=mesh)
+        sharded = system.shard(inputs, ct, il, tl)
+        if mesh is not None:
+            assert sharded[0].sharding.spec == P('data')
+        for step in range(3):
+            (system.params, system.opt_state, loss, gn, bad) = \
+                system._train_step(system.params, system.opt_state,
+                                   *sharded, jax.random.PRNGKey(step),
+                                   jnp.int32(step))
+        results.append((float(loss),
+                        jax.tree.map(np.asarray, system.params)))
+
+    (loss_a, params_a), (loss_b, params_b) = results
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
