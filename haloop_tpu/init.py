@@ -315,12 +315,17 @@ def create_model(arch: str, compile: bool = True):
             # small-footprint extension arch for CPU tests/smoke runs
             enc = EncoderSpec("lstm", hidden_dim=256, input_dim=80)
             return pair(enc, RecognizerSpec("ctc", int(vocab), 256))
+        case ['rnn-transducer-tiny', vocab]:
+            # small-footprint extension arch for CPU tests/smoke runs
+            enc = EncoderSpec("lstm", hidden_dim=256, input_dim=80)
+            return pair(enc, RecognizerSpec("transducer", int(vocab), 256))
         case ['recognizer', enc_arch, vocab]:
             enc = create_model(enc_arch, compile=False).encoder
             return pair(enc, RecognizerSpec("ctc", int(vocab), 1024))
         case ['rnn-transducer', enc_arch, vocab]:
             enc = create_model(enc_arch, compile=False).encoder
-            return pair(enc, RecognizerSpec("transducer", int(vocab), 1024))
+            return pair(enc, RecognizerSpec("transducer", int(vocab),
+                                            enc.feat_dim))
         case ['audio-transformer']:
             return enc_dec(16384, 6, 4, with_ctc=False)
         case ['audio-transformer-ctc']:

@@ -71,6 +71,17 @@ class System:
             from haloop_tpu.parallel.mesh import replicate
             self.params = replicate(self.mesh, self.params)
             self.opt_state = replicate(self.mesh, self.opt_state)
+
+        # shallow-fusion LM for --beam decoding (BASELINE.json config:
+        # transducer + prefix beam search with RNN-LM fusion): an hal
+        # checkpoint (rnnlm.py state dict)
+        self.fusion_params = None
+        self.fusion_layers, self.fusion_dim = 2, 512
+        if getattr(args, 'lm', None):
+            ckpt = load_checkpoint(args.lm)
+            self.fusion_params = jax.tree.map(jnp.asarray, ckpt['model'])
+            self.fusion_layers = ckpt['args']['num_layers']
+            self.fusion_dim = ckpt['args']['rnn_size']
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
         self._eval_forward = jax.jit(
@@ -142,7 +153,8 @@ class System:
         return new_params, new_opt, loss, enc_norm, bad
 
     def _decode_impl(self, params, feats, feat_lens, target_lengths,
-                     prompt=None, key=None, *, max_steps, train=False):
+                     prompt=None, key=None, fusion_params=None, *,
+                     max_steps, train=False):
         if self.spec.recognizer.kind == "ctc" and self.args.beam > 1:
             from haloop_tpu.models.recognizer import \
                 temporal_classifier_log_probs
@@ -150,9 +162,24 @@ class System:
             lp = temporal_classifier_log_probs(
                 params["recognizer"], feats, key=key, train=train)
             prefixes, lens, scores = ctc_beam_search_batched(
-                lp, feat_lens, beam_width=self.args.beam)
+                lp, feat_lens, beam_width=self.args.beam,
+                fusion_params=fusion_params,
+                fusion_layers=self.fusion_layers,
+                fusion_dim=self.fusion_dim,
+                lm_weight=self.args.lm_weight)
             return (prefixes[:, 0], jnp.maximum(lens[:, 0], 0),
                     scores[:, 0], None)
+        if self.spec.recognizer.kind == "transducer" and self.args.beam > 1:
+            from haloop_tpu.ops.beam_device import \
+                transducer_beam_search_batched
+            toks, ulens, scores = transducer_beam_search_batched(
+                params["recognizer"], feats, feat_lens,
+                beam_width=self.args.beam, max_symbols=max_steps,
+                fusion_params=fusion_params,
+                fusion_layers=self.fusion_layers,
+                fusion_dim=self.fusion_dim,
+                lm_weight=self.args.lm_weight)
+            return toks[:, 0], ulens[:, 0], scores[:, 0], None
         if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,
@@ -375,7 +402,7 @@ class System:
                 for attempt in range(attempts):
                     out = self._decode(
                         self.params, feats, feat_lens, condtarget_lengths,
-                        prompt_tensor, self.next_key(),
+                        prompt_tensor, self.next_key(), self.fusion_params,
                         max_steps=max_steps, train=dropout_on)
                     hyps, out_lens, log_probs, sum_ents = out
                     hyps = np.asarray(hyps)
@@ -592,8 +619,14 @@ def make_parser():
                         choices=['float32', 'bfloat16'],
                         help="encoder compute dtype (losses stay fp32)")
     parser.add_argument('--beam', type=int, default=1,
-                        help="CTC beam width for eval decoding (1=greedy; "
-                             "on-device batched prefix beam search)")
+                        help="beam width for eval decoding (1=greedy; "
+                             "on-device batched prefix beam search for CTC, "
+                             "monotonic beam for transducers)")
+    parser.add_argument('--lm', type=str, default=None,
+                        help="hal RNN-LM checkpoint for shallow fusion "
+                             "during --beam decoding")
+    parser.add_argument('--lm-weight', type=float, default=0.3,
+                        help="shallow-fusion LM weight")
     parser.add_argument('--profile', type=int, default=0,
                         help="capture a jax profiler trace of this many "
                              "training steps into <exp>/profile")

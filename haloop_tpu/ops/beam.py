@@ -94,8 +94,14 @@ def ctc_beam_search_decode_logits(logits, beam_width=8, blank=0, topk=1,
         if lm is not None:
             lm_cache = {p: lm_cache[p] for p in beams}
 
+    def final_rank(kv):
+        p, score = kv
+        if lm is not None:
+            return -(score + lm_weight * lm_cache[p][1])
+        return -score
+
     scored = sorted(((p, logaddexp(b, nb)) for p, (b, nb) in beams.items()),
-                    key=lambda kv: -kv[1])
+                    key=final_rank)
     return scored[:topk]
 
 

@@ -27,7 +27,23 @@ import jax.numpy as jnp
 from haloop_tpu.ops.semiring import NEG_INF, logaddexp
 
 
-def _frame_update(state, logp, K, V, L):
+def _fit_vocab(lm_logp, V):
+    """Align an LM's vocab axis to the acoustic vocab (slice or pad)."""
+    VL = lm_logp.shape[-1]
+    if VL >= V:
+        return lm_logp[..., :V]
+    pad = jnp.full(lm_logp.shape[:-1] + (V - VL,), NEG_INF,
+                   lm_logp.dtype)
+    return jnp.concatenate([lm_logp, pad], -1)
+
+
+def _frame_update(state, logp, K, V, L, lm=None):
+    """One beam-search frame. ``lm`` enables shallow fusion: a tuple
+    (lm_acc (K,), lm_logp (K, V), weight) — candidates are RANKED by
+    acoustic + weight * lm mass while p_b/p_nb stay purely acoustic
+    (matching the host search, ops/beam.py rank()). Returns the new
+    state plus (parent, ext_tok, is_stay, new_lm_acc) so the caller can
+    advance per-beam LM recurrent state for extended beams."""
     prefixes, lens, p_b, p_nb = state
     total = logaddexp(p_b, p_nb)                      # (K,)
 
@@ -72,7 +88,18 @@ def _frame_update(state, logp, K, V, L):
     # ---- top-K over all candidates
     stay_total = logaddexp(stay_pb, stay_pnb)
     all_scores = jnp.concatenate([stay_total, ext.reshape(-1)])
-    _, top_idx = jax.lax.top_k(all_scores, K)
+    if lm is not None:
+        lm_acc, lm_logp, weight = lm
+        lm_logp = _fit_vocab(lm_logp, V)
+        # stays keep their prefix's accumulated LM mass; extensions add
+        # the LM prob of the appended token
+        rank = jnp.concatenate([
+            stay_total + weight * lm_acc,
+            (ext + weight * (lm_acc[:, None] + lm_logp)).reshape(-1)])
+        rank = jnp.where(all_scores <= NEG_INF / 2, NEG_INF, rank)
+    else:
+        rank = all_scores
+    _, top_idx = jax.lax.top_k(rank, K)
 
     is_stay = top_idx < K
     stay_j = jnp.where(is_stay, top_idx, 0)
@@ -96,7 +123,12 @@ def _frame_update(state, logp, K, V, L):
     # candidates that scored NEG_INF are dead: mark invalid
     chosen = all_scores[top_idx]
     new_lens = jnp.where(chosen <= NEG_INF / 2, -1, new_lens)
-    return new_prefixes, new_lens, new_pb, new_pnb
+    new_lm_acc = None
+    if lm is not None:
+        new_lm_acc = lm_acc[parent] + jnp.where(
+            is_stay, 0.0, lm_logp[parent, ext_c])
+    return (new_prefixes, new_lens, new_pb, new_pnb,
+            parent, ext_c, is_stay, new_lm_acc)
 
 
 def _logsumexp_cols(m):
@@ -120,7 +152,9 @@ def _scatter_neg_inf(ext, pp_match, merge_tok):
 
 def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
                                    lm_layers=2, lm_dim=512,
-                                   max_symbols=None):
+                                   max_symbols=None, fusion_params=None,
+                                   fusion_layers=2, fusion_dim=512,
+                                   lm_weight=0.3):
     """Batched on-device monotonic RNN-T beam search.
 
     Monotonic = at most one label per frame (each frame every beam
@@ -129,6 +163,14 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
     With beam_width=1 this equals monotonic greedy decoding. Beams carry
     their own prediction-net LSTM state; selected extensions advance it
     batched over K.
+
+    Optional shallow fusion with an external hal RNN LM
+    (``fusion_params``): extension candidates add
+    ``lm_weight * log P_lm(token | prefix)`` and each beam carries the
+    external LM's recurrent state alongside the prediction net's
+    (the on-device analog of ops/beam.py transducer_beam_search's
+    ``lm=``; BASELINE.json beam+LM headline config). The carried and
+    returned score is the combined ranking score.
 
     p: transducer params (models/recognizer.transducer_init layout).
     features: (N, T, F); lengths: (N,).
@@ -141,6 +183,7 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
     V = p["classifier"]["weight"].shape[0]
     K = beam_width
     U = max_symbols or T
+    use_lm = fusion_params is not None
 
     f_all = linear(p["classifier"], features)          # (N, T, V)
 
@@ -150,6 +193,11 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
             p["lm"], tokens, (h, c), num_layers=lm_layers)
         return logits, h, c
 
+    def fusion_step(tokens, h, c):
+        logits, (h, c) = R.decoder_step(fusion_params, tokens, (h, c),
+                                        num_layers=fusion_layers)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), h, c
+
     def decode_one(f, length):
         tokens0 = jnp.zeros((K, U), jnp.int32)
         ulens0 = jnp.zeros((K,), jnp.int32)
@@ -157,15 +205,26 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
         h0 = jnp.zeros((lm_layers, K, lm_dim))
         c0 = jnp.zeros((lm_layers, K, lm_dim))
         g0, h0, c0 = lm_step(jnp.zeros((K,), jnp.int32), h0, c0)
+        if use_lm:
+            hf0 = jnp.zeros((fusion_layers, K, fusion_dim))
+            cf0 = jnp.zeros((fusion_layers, K, fusion_dim))
+            gf0, hf0, cf0 = fusion_step(jnp.zeros((K,), jnp.int32),
+                                        hf0, cf0)
+            lm0 = (hf0, cf0, gf0)
+        else:
+            lm0 = None
 
         def frame(state, inp):
-            tokens, ulens, score, h, c, g = state
+            (tokens, ulens, score, h, c, g), lm_state = state
             f_t, t = inp
             joint = jax.nn.log_softmax(
                 (f_t[None, :] + g).astype(jnp.float32), -1)   # (K, V)
 
             settle = score + joint[:, 0]                      # (K,)
             extend = score[:, None] + joint                   # (K, V)
+            if use_lm:
+                hf, cf, gf = lm_state
+                extend = extend + lm_weight * _fit_vocab(gf, V)
             extend = extend.at[:, 0].set(NEG_INF)
             extend = jnp.where(ulens[:, None] >= U, NEG_INF, extend)
 
@@ -195,50 +254,104 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
             new_h = jnp.where(is_settle[None, :, None], new_h, h2)
             new_c = jnp.where(is_settle[None, :, None], new_c, c2)
 
-            new = (new_tokens, new_ulens, top_score, new_h, new_c, new_g)
-            cur = (tokens, ulens, score, h, c, g)
+            if use_lm:
+                # advance the external LM for extended beams
+                new_hf, new_cf = hf[:, parent], cf[:, parent]
+                gf2, hf2, cf2 = fusion_step(tok, new_hf, new_cf)
+                new_gf = jnp.where(is_settle[:, None], gf[parent], gf2)
+                new_hf = jnp.where(is_settle[None, :, None], new_hf, hf2)
+                new_cf = jnp.where(is_settle[None, :, None], new_cf, cf2)
+                new_lm = (new_hf, new_cf, new_gf)
+            else:
+                new_lm = None
+
+            new = ((new_tokens, new_ulens, top_score, new_h, new_c,
+                    new_g), new_lm)
+            cur = ((tokens, ulens, score, h, c, g), lm_state)
             return jax.tree.map(
                 lambda n, o: jnp.where(
                     jnp.reshape(t < length, (1,) * n.ndim), n, o),
                 new, cur), None
 
-        state0 = (tokens0, ulens0, score0, h0, c0, g0)
+        state0 = ((tokens0, ulens0, score0, h0, c0, g0), lm0)
         state, _ = jax.lax.scan(frame, state0, (f, jnp.arange(T)))
-        tokens, ulens, score = state[0], state[1], state[2]
+        tokens, ulens, score = state[0][0], state[0][1], state[0][2]
         order = jnp.argsort(-score)
         return tokens[order], ulens[order], score[order]
 
     return jax.vmap(decode_one)(f_all, lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width",))
-def ctc_beam_search_batched(log_probs, lengths, beam_width=8):
+@functools.partial(jax.jit, static_argnames=("beam_width", "fusion_layers",
+                                              "fusion_dim"))
+def ctc_beam_search_batched(log_probs, lengths, beam_width=8,
+                            fusion_params=None, fusion_layers=2,
+                            fusion_dim=512, lm_weight=0.3):
     """log_probs: (N, T, V) log-softmaxed, blank=0; lengths: (N,).
+
+    Optional shallow fusion with an hal RNN LM (``fusion_params`` =
+    models/rnn.py decoder params): candidates are ranked by acoustic +
+    lm_weight * LM log-prob of the prefix, the reported score stays
+    acoustic — the on-device analog of ops/beam.py's host search with
+    RNNLMFusion (BASELINE.json beam+LM config).
 
     Returns (prefixes (N, K, T), lens (N, K), scores (N, K)) sorted
     best-first; invalid beams have len -1.
     """
+    from haloop_tpu.models import rnn as R
+
     N, T, V = log_probs.shape
     K, L = beam_width, T
+    use_lm = fusion_params is not None
 
     prefixes0 = jnp.zeros((K, L), jnp.int32)
     lens0 = jnp.full((K,), -1, jnp.int32).at[0].set(0)
     pb0 = jnp.full((K,), NEG_INF).at[0].set(0.0)
     pnb0 = jnp.full((K,), NEG_INF)
 
+    def lm_step(tokens, h, c):
+        logits, (h, c) = R.decoder_step(fusion_params, tokens, (h, c),
+                                        num_layers=fusion_layers)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), h, c
+
     def decode_one(lp, length):
+        if use_lm:
+            h0 = jnp.zeros((fusion_layers, K, fusion_dim))
+            c0 = jnp.zeros((fusion_layers, K, fusion_dim))
+            g0, h0, c0 = lm_step(jnp.zeros((K,), jnp.int32), h0, c0)
+            lm0 = (jnp.zeros((K,)), h0, c0, g0)
+        else:
+            lm0 = None
+
         def step(state, inp):
             frame, t = inp
-            new_state = _frame_update(state, frame, K, V, L)
+            beams, lm_state = state
+            if use_lm:
+                lm_acc, h, c, g = lm_state
+                out = _frame_update(beams, frame, K, V, L,
+                                    lm=(lm_acc, g, lm_weight))
+                (*new_beams, parent, ext_c, is_stay, new_acc) = out
+                new_h, new_c = h[:, parent], c[:, parent]
+                g2, h2, c2 = lm_step(ext_c, new_h, new_c)
+                new_g = jnp.where(is_stay[:, None], g[parent], g2)
+                new_h = jnp.where(is_stay[None, :, None], new_h, h2)
+                new_c = jnp.where(is_stay[None, :, None], new_c, c2)
+                new_state = (tuple(new_beams),
+                             (new_acc, new_h, new_c, new_g))
+            else:
+                out = _frame_update(beams, frame, K, V, L)
+                new_state = (out[:4], None)
             state = jax.tree.map(
                 lambda n, o: jnp.where(t < length, n, o), new_state, state)
             return state, None
 
         state, _ = jax.lax.scan(
-            step, (prefixes0, lens0, pb0, pnb0), (lp, jnp.arange(T)))
-        prefixes, lens, p_b, p_nb = state
+            step, ((prefixes0, lens0, pb0, pnb0), lm0),
+            (lp, jnp.arange(T)))
+        (prefixes, lens, p_b, p_nb), lm_state = state
         scores = logaddexp(p_b, p_nb)
-        order = jnp.argsort(-scores)
+        rank = scores + lm_weight * lm_state[0] if use_lm else scores
+        order = jnp.argsort(-jnp.where(lens < 0, NEG_INF, rank))
         return prefixes[order], lens[order], scores[order]
 
     return jax.vmap(decode_one)(log_probs, lengths)
