@@ -23,12 +23,22 @@ from haloop_tpu import features
 from haloop_tpu.sinusoids import SyntheticAlignments
 
 
-def load_wav(path):
-    """(channels, samples) float32 in [-1, 1] + sample rate."""
+def load_audio(path):
+    """(channels, samples) float32 in [-1, 1] + sample rate.
+
+    PCM .wav via the stdlib; .flac via the native C decoder
+    (haloop_tpu/native/flac.c) — LibriSpeech, the baseline corpus,
+    ships as FLAC (reference reads it through torchaudio,
+    ha/data.py:56-63)."""
     path = str(path)
+    if path.endswith(".flac"):
+        from haloop_tpu.native import decode_flac
+        with open(path, "rb") as f:
+            frames, sr, bps = decode_flac(f.read())
+        return frames.astype(np.float32) / float(2 ** (bps - 1)), sr
     if not path.endswith(".wav"):
         raise ValueError(
-            f"only PCM .wav is supported without torchaudio: {path}")
+            f"only PCM .wav and .flac are supported in this build: {path}")
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -95,7 +105,7 @@ class LabelFile:
 
     def __getitem__(self, index):
         filename, text = self.ark[index]
-        wav, sr = load_wav(filename)
+        wav, sr = load_audio(filename)
         if sr != 16000:
             if sr not in (16000, 22050, 32000, 44100, 48000):
                 raise ValueError(f'unsupported sample rate {sr}')
