@@ -188,7 +188,7 @@ def main():
     val_data = np.memmap(args.eval, dtype=args.mmap_dtype, mode="r") \
         if args.eval else None
 
-    checkpoint = Checkpointer(path=args.exp, save=args.save) if master \
+    checkpoint = Checkpointer(path=args.exp, save=args.save, fmt=args.ckpt_format) if master \
         else None
 
     (spec, params), _, _ = Initializer()(args)

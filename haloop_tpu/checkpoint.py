@@ -29,8 +29,11 @@ def save_checkpoint(path, obj):
 
 
 def load_checkpoint(path):
-    """Load a native pickle checkpoint or a reference torch .pt archive."""
+    """Load a native pickle checkpoint, an orbax sharded checkpoint
+    directory, or a reference torch .pt archive."""
     path = Path(path)
+    if path.is_dir():
+        return load_checkpoint_sharded(path)
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic[:2] == b"PK":                   # torch zip serialization
@@ -40,13 +43,109 @@ def load_checkpoint(path):
         return pickle.load(f)
 
 
+# ------------------------------------------------- sharded (multi-host)
+
+class _Shard:
+    """Placeholder for an array leaf stored in the orbax directory."""
+
+    def __init__(self, index):
+        self.index = index
+
+
+def _is_array(x):
+    return isinstance(x, (jax.Array, np.ndarray))
+
+
+def save_checkpoint_sharded(path, obj):
+    """Sharded checkpoint via orbax: every process writes only its
+    addressable shards (the multi-host story the pickle path cannot
+    cover — np.asarray of a non-fully-addressable array is an error).
+    ``path`` becomes a directory: arrays land in <path>/arrays (orbax),
+    non-array leaves (flags, strings, counters) in <path>/meta.pkl."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    tmp = path.with_name(path.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+
+    counter = iter(range(1 << 30))
+    arrays = {}
+
+    def mark(x):
+        i = next(counter)
+        if _is_array(x):
+            arrays[str(i)] = x
+            return _Shard(i)
+        return x
+
+    skeleton = jax.tree.map(mark, obj)
+    with open(tmp / "meta.pkl", "wb") as f:
+        pickle.dump(skeleton, f, protocol=pickle.HIGHEST_PROTOCOL)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(tmp / "arrays", arrays)
+    shutil.rmtree(path, ignore_errors=True)
+    tmp.rename(path)
+
+
+def load_checkpoint_sharded(path, template=None):
+    """Restore a sharded checkpoint directory.
+
+    template: optional pytree of arrays or jax.ShapeDtypeStruct whose
+    shardings dictate the restored layout (pass the TP/DP-sharded
+    params skeleton to land shards directly on the right devices).
+    Without a template, arrays restore unsharded on the default device.
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with open(path / "meta.pkl", "rb") as f:
+        skeleton = pickle.load(f)
+
+    shard_leaves = [s for s in jax.tree.leaves(
+        skeleton, is_leaf=lambda x: isinstance(x, _Shard))
+        if isinstance(s, _Shard)]
+    if template is not None:
+        abstract = {}
+        t_arrays = [t for t in jax.tree.leaves(template) if _is_array(t)
+                    or hasattr(t, "shape")]
+        for s, t in zip(shard_leaves, t_arrays):
+            abstract[str(s.index)] = jax.ShapeDtypeStruct(
+                t.shape, t.dtype, sharding=getattr(t, "sharding", None))
+        with ocp.StandardCheckpointer() as ckptr:
+            arrays = ckptr.restore(path / "arrays", abstract)
+    else:
+        # no template: restore as host numpy, ignoring saved shardings
+        # (the save may have happened on a different device topology)
+        rargs = {str(s.index): ocp.RestoreArgs(restore_type=np.ndarray)
+                 for s in shard_leaves}
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            arrays = ckptr.restore(
+                path / "arrays",
+                args=ocp.args.PyTreeRestore(restore_args=rargs))
+    return jax.tree.map(
+        lambda x: arrays[str(x.index)] if isinstance(x, _Shard) else x,
+        skeleton, is_leaf=lambda x: isinstance(x, _Shard))
+
+
 class Checkpointer:
     def __init__(self, path: Path,
-                 save: Literal['all', 'best', 'last+best', 'none'] = 'best'):
+                 save: Literal['all', 'best', 'last+best', 'none'] = 'best',
+                 fmt: Literal['pickle', 'sharded'] = 'pickle'):
         self.best_loss = float('inf')
         self.save = save
+        self.fmt = fmt
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
+
+    def _save(self, path, checkpoint):
+        print(f'saving checkpoint to {path}', flush=True)
+        if self.fmt == 'sharded':
+            save_checkpoint_sharded(path, checkpoint)
+        else:
+            save_checkpoint(path, checkpoint)
 
     def __call__(self, loss, epoch, checkpoint_fn):
         checkpoint = None
@@ -58,21 +157,15 @@ class Checkpointer:
 
         if self.save == 'all':
             checkpoint = checkpoint_fn()
-            path = self.path / f'epoch-{epoch}.pt'
-            print(f'saving checkpoint to {path}', flush=True)
-            save_checkpoint(path, checkpoint)
+            self._save(self.path / f'epoch-{epoch}.pt', checkpoint)
         elif self.save == 'last+best':
             checkpoint = checkpoint_fn()
-            path = self.path / 'last.pt'
-            print(f'saving checkpoint to {path}', flush=True)
-            save_checkpoint(path, checkpoint)
+            self._save(self.path / 'last.pt', checkpoint)
 
         if best:
-            path = self.path / 'best.pt'
             if checkpoint is None:
                 checkpoint = checkpoint_fn()
-            print(f'saving checkpoint to {path}', flush=True)
-            save_checkpoint(path, checkpoint)
+            self._save(self.path / 'best.pt', checkpoint)
 
     @classmethod
     def add_arguments(cls, parser):
@@ -81,6 +174,11 @@ class Checkpointer:
         parser.add_argument('--save', type=str, default='last+best',
                             choices=['all', 'last+best', 'best', 'none'],
                             help='What checkpoints to save after evaluation')
+        parser.add_argument('--ckpt-format', type=str, default='pickle',
+                            choices=['pickle', 'sharded'],
+                            help='pickle: single-host pytree pickle; '
+                                 'sharded: orbax directory, each process '
+                                 'writes its addressable shards')
 
 
 def construct_path_suffix(

@@ -685,7 +685,7 @@ def main():
         # process-0-gated checkpointing (reference rank-0 gate,
         # ha/attention_loop.py:74,95); params are replicated so every
         # process holds the full state
-        checkpoint = Checkpointer(path=args.exp, save=args.save) \
+        checkpoint = Checkpointer(path=args.exp, save=args.save, fmt=args.ckpt_format) \
             if is_master() else (lambda **kw: None)
         for epoch in range(epoch, args.num_epochs):
             global_step = system.train_one_epoch(

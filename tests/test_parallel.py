@@ -122,3 +122,48 @@ def test_hac_data_parallel_matches_single_device():
     np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax sharded save/restore of TP-sharded GPT params + opt state
+    over the 8-device mesh: values and shardings both round-trip
+    (VERDICT r1 item 9)."""
+    need_devices(8)
+    import optax
+    from haloop_tpu.checkpoint import (load_checkpoint,
+                                       load_checkpoint_sharded,
+                                       save_checkpoint_sharded)
+    from haloop_tpu.optim import decay_mask
+
+    cfg, params = _tiny()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    pspecs = gpt_param_spec(params)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    tx = optax.adamw(1e-3, mask=decay_mask)
+    opt_state = tx.init(params)
+
+    path = tmp_path / "step-7"
+    save_checkpoint_sharded(path, {"model": params, "optimizer": opt_state,
+                                   "iter_num": 7})
+
+    restored = load_checkpoint_sharded(
+        path, template={"model": params, "optimizer": opt_state,
+                        "iter_num": 7})
+    assert restored["iter_num"] == 7
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(restored["model"])):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state),
+                    jax.tree.leaves(restored["optimizer"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # load_checkpoint dispatches on the directory; template-less
+    # restores land as host numpy (topology-independent)
+    again = load_checkpoint(path)
+    assert again["iter_num"] == 7
+    leaf = jax.tree.leaves(again["model"])[0]
+    assert isinstance(leaf, np.ndarray)
