@@ -200,12 +200,24 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
     (reference ha/attention.py:205-232)."""
     x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
                      activation_spec=activation_spec)
-    logits = linear(p["lm_head"], x).astype(jnp.float32)
-    # nll = logsumexp - target logit: avoids materializing a second
-    # (B, T, V) log-softmax array (HBM-bound for GPT-2 vocab sizes)
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    tgt = jnp.take_along_axis(logits, target_ids[..., None], axis=-1)[..., 0]
-    nll = lse - tgt
+    from haloop_tpu.ops.dispatch import use_pallas
+    B, T = target_ids.shape
+    if (use_pallas() and cfg.vocab_size >= 4096
+            and "bias" not in p["lm_head"] and activation_spec is None):
+        # fused lm_head+CE kernel: the (B, T, V) logits never hit HBM
+        # (ops/fused_ce.py; the GPT-2-vocab scoring hot spot)
+        from haloop_tpu.ops.fused_ce import fused_ce_nll
+        nll = fused_ce_nll(
+            x.reshape(B * T, -1), p["lm_head"]["weight"],
+            target_ids.reshape(B * T).astype(jnp.int32)).reshape(B, T)
+    else:
+        logits = linear(p["lm_head"], x).astype(jnp.float32)
+        # nll = logsumexp - target logit: avoids materializing a second
+        # (B, T, V) log-softmax array (HBM-bound for GPT-2 vocab sizes)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, target_ids[..., None],
+                                  axis=-1)[..., 0]
+        nll = lse - tgt
     valid = target_ids != 0
     nll = jnp.where(valid, nll, 0.0)
     if reduction == "mean":

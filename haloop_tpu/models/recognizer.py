@@ -46,8 +46,14 @@ def temporal_classifier_loss(p, features, targets, input_lengths=None,
     log_probs = temporal_classifier_log_probs(p, features, key=key, train=train)
     log_probs = jnp.swapaxes(log_probs, 0, 1)      # (T, N, C)
     if star_penalty is None:
-        losses = ctc_forward_score(log_probs, targets, input_lengths,
-                                   target_lengths)
+        from haloop_tpu.ops.dispatch import use_pallas
+        if use_pallas():
+            from haloop_tpu.ops.ctc_pallas import ctc_loss_pallas
+            losses = ctc_loss_pallas(log_probs, targets, input_lengths,
+                                     target_lengths)
+        else:
+            losses = ctc_forward_score(log_probs, targets, input_lengths,
+                                       target_lengths)
     else:
         losses = star_ctc_forward_score(log_probs, targets, input_lengths,
                                         target_lengths,
@@ -124,10 +130,30 @@ def transducer_loss(p, features, targets, input_lengths=None,
     x = dropout(key, features, p_drop, deterministic=not train)
     f = linear(p["classifier"], x)                            # (N, T, V)
 
-    joint = f[:, :, None, :] + g[:, None, :, :]               # (N, T, U+1, V)
-    joint = jax.nn.log_softmax(joint.astype(jnp.float32), axis=-1)
-    losses = transducer_forward_score(joint, targets, input_lengths,
-                                      target_lengths)
+    from haloop_tpu.ops.dispatch import use_pallas
+    if use_pallas():
+        # fused joint: the (N, T, U+1, V) tensor never exists — the
+        # pairwise-lse kernel reduces the vocab axis in VMEM and the DP
+        # consumes only blank/emit log-probs (ops/joint_pallas.py)
+        from haloop_tpu.ops.joint_pallas import pairwise_lse
+        from haloop_tpu.ops.transducer import \
+            transducer_forward_score_from_parts
+        f32 = f.astype(jnp.float32)
+        g32 = g.astype(jnp.float32)
+        lse = pairwise_lse(f32, g32)                          # (N, T, U+1)
+        blank = f32[:, :, 0][:, :, None] + g32[:, None, :, 0] - lse
+        idx = targets.astype(jnp.int32)
+        fy = jnp.take_along_axis(f32, idx[:, None, :], axis=2)  # (N, T, U)
+        gy = jnp.take_along_axis(g32[:, :-1, :], idx[:, :, None],
+                                 axis=2)[..., 0]                # (N, U)
+        emit = fy + gy[:, None, :] - lse[:, :, :-1]
+        losses = transducer_forward_score_from_parts(
+            blank, emit, input_lengths, target_lengths)
+    else:
+        joint = f[:, :, None, :] + g[:, None, :, :]           # (N, T, U+1, V)
+        joint = jax.nn.log_softmax(joint.astype(jnp.float32), axis=-1)
+        losses = transducer_forward_score(joint, targets, input_lengths,
+                                          target_lengths)
     return jnp.mean(losses), {}
 
 

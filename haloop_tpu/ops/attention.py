@@ -73,7 +73,13 @@ def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
 
 def _flash_worthwhile(q, k):
     """Use the Pallas kernel only on TPU and for long-enough sequences
-    (short ones are faster through plain XLA fusion)."""
+    (short ones are faster through plain XLA fusion). With the auto
+    block sizes the kernel wins from T=256 up (fwd AND bwd, measured on
+    v5e — PERFORMANCE.md); tiny-query shapes (decoder cross-attention,
+    U~24) stay on the fused XLA path where the score matrix is small."""
+    import os
+    if os.environ.get("HALOOP_KERNELS") == "0":
+        return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:

@@ -206,6 +206,15 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 def _pad_pack(q, k, v, bq, bk):
     N, H, T, D = q.shape
     S = k.shape[2]
+    # Auto block sizes: big blocks win decisively on TPU (measured on
+    # v5e, B=32 h=12 d=64 causal: T=512 (512,512) 2.0ms vs (128,128)
+    # 3.9ms; T=1024 (1024,1024) 3.4ms vs 11.7ms) because each program's
+    # matmul gets MXU-sized and per-program overhead amortizes. Cap at
+    # 1024 so the (bq, bk) fp32 score tile stays ~4MB of VMEM.
+    if bq is None:
+        bq = 1024
+    if bk is None:
+        bk = 1024
     bq = min(bq, _next_multiple(T, 8))
     bk = min(bk, _next_multiple(S, 128))
     Tp = _next_multiple(T, bq)
@@ -245,7 +254,7 @@ def _kv_index_fn(causal, t0, bq, bk):
 
 
 def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
-                   bq=128, bk=128, with_lse=False):
+                   bq=None, bk=None, with_lse=False):
     """q: (N, H, T, D); k, v: (N, H, S, D); kv_lengths: (N,) int32."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -303,7 +312,7 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
 
 
 def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,
-                    interpret=False, bq=128, bk=128):
+                    interpret=False, bq=None, bk=None):
     """Kernelized dq/dk/dv. lse: (NH, Tp) from the forward."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -431,9 +440,11 @@ def _fwd(q, k, v, kv_lengths, causal, t0, interpret):
     return out, (q, k, v, kv_lengths, out, lse)
 
 
-_BWD_KERNEL_MIN_S = 2048   # below this, XLA's materialized backward is
-                           # faster (PERFORMANCE.md crossover table);
-                           # above it, the T^2 buffers stop fitting HBM
+_BWD_KERNEL_MIN_S = 0      # kernel backward wins at every size with the
+                           # auto block sizes (v5e: 8.8 vs 11.3 ms at
+                           # S=256, 7.1 vs 8.0 at 512, 8.8 vs 12.8 at
+                           # 1024, 9.8 vs 19.3 at 2048); keep the knob
+                           # for A/B measurements
 
 
 def _bwd(causal, t0, interpret, res, g):

@@ -1,0 +1,169 @@
+"""Fused lm_head + cross-entropy Pallas kernel.
+
+The scoring/training hot spot for GPT-2-scale vocabularies is NOT the
+lm_head matmul but the (tokens, V) logits tensor it materializes: at
+B=32, T=512, V=50257 the fp32 logits are 3.3 GB that XLA writes to HBM
+and reads back twice (logsumexp + target gather) — dominating hap's
+step time (VERDICT r1: "hap is ~25% MFU"). This kernel streams vocab
+tiles through VMEM with an online (max, sumexp) accumulator — the
+flash-attention trick applied to the classifier axis — so HBM traffic
+drops to the weights + activations and the (N,) outputs.
+
+Forward-only Pallas; the custom VJP recomputes the standard XLA
+backward from the kernel's lse output (training cost unchanged,
+inference/scoring runs at memory speed-of-light).
+
+Replaces the spec of ha/score.py:72-73 and ha/attention.py:225-231
+(F.cross_entropy over flattened logits).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _ce_kernel(x_ref, w_ref, t_ref, nll_ref, lse_ref, m_ref, s_ref, g_ref,
+               *, V, TV, out_dtype):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    logits = jnp.dot(x_ref[:], w_ref[:].T,
+                     preferred_element_type=jnp.float32)     # (TN, TV)
+    # mask vocab padding (rows of W beyond V are zeros -> logits 0,
+    # which would pollute the logsumexp)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * TV
+    logits = jnp.where(col < V, logits, NEG)
+
+    m_old = m_ref[:]                                          # (TN, 1)
+    m_new = jnp.maximum(m_old, jnp.max(logits, -1, keepdims=True))
+    s_ref[:] = s_ref[:] * jnp.exp(m_old - m_new) + \
+        jnp.sum(jnp.exp(logits - m_new), -1, keepdims=True)
+    m_ref[:] = m_new
+
+    # target logit: the target lands in exactly one vocab tile
+    tgt = t_ref[:]                                            # (TN, 1)
+    hit = col == tgt
+    g_ref[:] = g_ref[:] + jnp.sum(jnp.where(hit, logits, 0.0), -1,
+                                  keepdims=True)
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse = m_ref[:] + jnp.log(s_ref[:])
+        nll_ref[:] = (lse - g_ref[:]).astype(out_dtype)
+        lse_ref[:] = lse.astype(out_dtype)
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def _interp(flag):
+    """Interpret off-TPU so forced dispatch (HALOOP_KERNELS=1) and CPU
+    tests run the same kernel code."""
+    if flag:
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+def _fused_ce_fwd_impl(x, w, targets, *, tn=256, tv=1024, interpret=False):
+    """x (N, D), w (V, D), targets (N,) -> (nll (N,), lse (N,)) fp32."""
+    N, D = x.shape
+    V = w.shape[0]
+    NP, VP, DP = _round_up(N, tn), _round_up(V, tv), _round_up(D, 128)
+    if DP != D:
+        x = jnp.pad(x, ((0, 0), (0, DP - D)))
+        w = jnp.pad(w, ((0, 0), (0, DP - D)))
+    if NP != N:
+        x = jnp.pad(x, ((0, NP - N), (0, 0)))
+        targets = jnp.pad(targets, (0, NP - N))
+    if VP != V:
+        w = jnp.pad(w, ((0, VP - V), (0, 0)))
+
+    t2 = targets.astype(jnp.int32)[:, None]                   # (NP, 1)
+    grid = (NP // tn, VP // tv)
+
+    kernel = functools.partial(_ce_kernel, V=V, TV=tv,
+                               out_dtype=jnp.float32)
+    nll, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, DP), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tv, DP), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NP, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+        ],
+        interpret=_interp(interpret),
+    )(x, w, t2)
+    return nll[:N, 0], lse[:N, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_ce_nll(x, w, targets, interpret=False):
+    """Per-token NLL of ``targets`` under logits = x @ w.T, computed
+    without materializing the logits. x (N, D), w (V, D),
+    targets (N,) int -> nll (N,) fp32 (caller masks padding ids)."""
+    nll, _ = _fused_ce_fwd_impl(x, w, targets, interpret=interpret)
+    return nll
+
+
+def _fwd(x, w, targets, interpret):
+    nll, lse = _fused_ce_fwd_impl(x, w, targets, interpret=interpret)
+    return nll, (x, w, targets, lse)
+
+
+def _bwd(interpret, res, g):
+    # standard XLA backward from the saved lse: p = softmax(logits);
+    # dlogits = (p - onehot(t)) * g. Materializes (N, V) once — the
+    # same cost as the non-fused training path it replaces.
+    x, w, targets, lse = res
+    logits = (x @ w.T.astype(x.dtype)).astype(jnp.float32)
+    p = jnp.exp(logits - lse[:, None])
+    onehot = jax.nn.one_hot(targets, w.shape[0], dtype=p.dtype)
+    dlogits = (p - onehot) * g[:, None]
+    dx = (dlogits @ w.astype(jnp.float32)).astype(x.dtype)
+    dw = (dlogits.T @ x.astype(jnp.float32)).astype(w.dtype)
+    return dx, dw, None
+
+
+fused_ce_nll.defvjp(_fwd, _bwd)
+
+
+def reference_ce_nll(x, w, targets):
+    """Oracle: materialized logits + logsumexp (the pre-kernel path)."""
+    logits = (x @ w.T.astype(x.dtype)).astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[:, None].astype(jnp.int32),
+                              axis=-1)[:, 0]
+    return lse - tgt

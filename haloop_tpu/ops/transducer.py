@@ -30,17 +30,26 @@ def transducer_forward_score(joint, targets, joint_lengths, target_lengths):
       target_lengths: (N,) valid U per item.
     Returns: (N,) positive NLL.
     """
-    N, T, U1, K = joint.shape
     blank = joint[..., 0]                               # (N, T, U+1)
-
-    # Row u=0: alpha(t, 0) = cumsum of blank(t-1, 0), shifted so alpha(0,0)=0.
-    from_left0 = jnp.pad(blank[:, :-1, 0], ((0, 0), (1, 0)))
-    row0 = jnp.cumsum(from_left0, axis=-1)              # (N, T)
-
     # Emission log-prob of the u-th target at every (t): (N, T, U)
     emit = jnp.take_along_axis(
         joint[:, :, :-1, :], targets[:, None, :, None].astype(jnp.int32),
         axis=-1)[..., 0]
+    return transducer_forward_score_from_parts(
+        blank, emit, joint_lengths, target_lengths)
+
+
+def transducer_forward_score_from_parts(blank, emit, joint_lengths,
+                                        target_lengths):
+    """Lattice DP given the only two per-(t,u) quantities it consumes:
+    blank (N, T, U+1) and emit (N, T, U) log-probs. This entry lets the
+    fused joint-lse kernel (ops/joint_pallas.py) feed the DP without a
+    (N, T, U+1, V) joint ever existing."""
+    N, T, U1 = blank.shape
+
+    # Row u=0: alpha(t, 0) = cumsum of blank(t-1, 0), shifted so alpha(0,0)=0.
+    from_left0 = jnp.pad(blank[:, :-1, 0], ((0, 0), (1, 0)))
+    row0 = jnp.cumsum(from_left0, axis=-1)              # (N, T)
     # w[t] for row u: blank(t-1, u), with w[0] unused (NEG_INF kills the term)
     w = jnp.pad(blank[:, :-1, :], ((0, 0), (1, 0), (0, 0)),
                 constant_values=NEG_INF)                # (N, T, U+1)

@@ -94,8 +94,35 @@ def main():
 
     @jax.jit
     def score(params, input_ids, target_ids):
-        return G.forward_all(params, cfg, input_ids, target_ids,
-                             reduction='none')
+        nll = G.forward_all(params, cfg, input_ids, target_ids,
+                            reduction='none')
+        if args.verbose:
+            return nll                           # (B, W) per-token
+        return jnp.sum(nll, axis=-1)             # (B,) device-side reduce
+
+    def emit(result, completion_tokens):
+        nll = np.asarray(result)
+        for n, tokens in enumerate(completion_tokens):
+            num_tokens = min(cfg.block_size, len(tokens))
+            if args.verbose:
+                from rich import print as print_
+                sentence_nll = nll[n]
+                print_(f'{sentence_nll.sum() / num_tokens:0.3f}',
+                       num_tokens,
+                       ' '.join(f'{id_to_piece(t)} [dim]{l:.02f}[/dim]'
+                                for t, l in zip(tokens,
+                                                sentence_nll.tolist())),
+                       sep='\t', flush=True)
+            else:
+                print(f'{float(nll[n]) / num_tokens:0.3f}', num_tokens,
+                      len(tokens), sep='\t')
+
+    # pipeline depth 2: dispatch batch k+1/k+2 before fetching batch k,
+    # hiding host tokenization/padding and device->host latency behind
+    # device compute (the reference leans on DataLoader workers for
+    # this, ha/loop.py:502-509; here jax's async dispatch suffices)
+    from collections import deque
+    pending = deque()
 
     for i, lines in enumerate(batched(sys.stdin, args.batch_size)):
         completion_tokens = encode(lines)
@@ -116,21 +143,14 @@ def main():
             [np.full((B, 1), bos, np.int32), completions[:, :-1]],
             axis=1)
 
-        nll = np.asarray(score(params, jnp.asarray(input_ids),
-                               jnp.asarray(completions)))
-        for sentence_nll, tokens in zip(nll, completion_tokens):
-            num_tokens = min(cfg.block_size, len(tokens))
-            loss_per_token = float(sentence_nll.sum()) / num_tokens
-            if args.verbose:
-                from rich import print as print_
-                print_(f'{loss_per_token:0.3f}', num_tokens,
-                       ' '.join(f'{id_to_piece(t)} [dim]{l:.02f}[/dim]'
-                                for t, l in zip(tokens,
-                                                sentence_nll.tolist())),
-                       sep='\t', flush=True)
-            else:
-                print(f'{loss_per_token:0.3f}', num_tokens, len(tokens),
-                      sep='\t', flush=True)
+        pending.append((score(params, jnp.asarray(input_ids),
+                              jnp.asarray(completions)),
+                        completion_tokens))
+        while len(pending) > 2:
+            emit(*pending.popleft())
+    while pending:
+        emit(*pending.popleft())
+    sys.stdout.flush()
 
 
 if __name__ == '__main__':
