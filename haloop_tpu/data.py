@@ -100,6 +100,23 @@ class LabelFile:
 
     def duration(self, index):
         filename, _ = self.ark[index]
+        if str(filename).endswith(".flac"):
+            # STREAMINFO header only — no decode
+            import ctypes
+            from haloop_tpu.native import flac_library
+            lib = flac_library()
+            with open(filename, "rb") as f:
+                head = f.read(65536)
+            ch = ctypes.c_int()
+            rate = ctypes.c_int()
+            bps = ctypes.c_int()
+            total = ctypes.c_longlong()
+            if lib and lib.flac_streaminfo(head, len(head), ctypes.byref(ch),
+                                           ctypes.byref(rate),
+                                           ctypes.byref(bps),
+                                           ctypes.byref(total)) == 0:
+                return total.value / max(rate.value, 1)
+            raise ValueError(f"cannot read FLAC STREAMINFO: {filename}")
         with wave.open(filename, "rb") as w:
             return w.getnframes() / w.getframerate()
 
@@ -172,6 +189,18 @@ class Fbank(ConcatDataset):
         return index, features.fbank(np.asarray(wav), num_mel_bins=80), text
 
 
+class Wave(ConcatDataset):
+    """Raw waveform as (samples, 1) 'frames' for on-device feature
+    extraction: with ``hac --device-fbank`` the jitted train step runs
+    features.fbank_jax on the padded batch, so the host never computes
+    spectrograms (dataset DSL: ``wav:labels:file``)."""
+
+    def __getitem__(self, index):
+        index, wav, text = super().__getitem__(index)
+        mono = np.asarray(wav).reshape(-1, np.asarray(wav).shape[-1])[0]
+        return index, mono[:, None].astype(np.float32), text
+
+
 class MFCC(ConcatDataset):
     def __getitem__(self, index):
         index, wav, text = super().__getitem__(index)
@@ -213,6 +242,8 @@ def make_dataset(s):
             return MFCC([make_dataset(subset)])
         case ['fbank', subset]:
             return Fbank([make_dataset(subset)])
+        case ['wav', subset]:
+            return Wave([make_dataset(subset)])
         case ['sinusoids0']:
             return SyntheticAlignments(examples_per_bin=100000, max=100)
         case ['sinusoids1']:

@@ -98,6 +98,13 @@ class System:
                       drop_labels=False, measure_entropy=False,
                       return_stats=False):
         k1, k2 = jax.random.split(key)
+        if getattr(self.args, 'device_fbank', False):
+            # raw waveforms in, log-mel on device inside the jitted step
+            # (features.fbank_jax: framing is one reshape-gather, the
+            # window/FFT/mel collapse into matmuls XLA fuses)
+            from haloop_tpu.features import fbank_jax
+            inputs, input_lengths = fbank_jax(
+                inputs[..., 0].astype(jnp.float32), input_lengths)
         enc_params = params["encoder"]
         if self.args.dtype == "bfloat16":
             # bf16 encoder compute with fp32 master params (the TPU
@@ -612,6 +619,10 @@ def make_parser():
     parser.add_argument('--score-spin-prompts', action='store_true')
     parser.add_argument('--grad-norms', type=str)
     parser.add_argument('--grad-norms-batch-duration', type=int, default=240)
+    parser.add_argument('--device-fbank', action='store_true',
+                        help="datasets yield raw waveforms (wav: DSL); "
+                             "log-mel features are computed on device "
+                             "inside the jitted step")
     parser.add_argument('-q', '--quiet', action='store_true')
     parser.add_argument('--wandb', action='store_true')
     parser.add_argument('--num-workers', type=int, default=1)
@@ -645,7 +656,12 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     vocab = symbol_tape.make_vocab(args.vocab)
-    collator = Collator(vocab)
+    if args.device_fbank:
+        from haloop_tpu.dataloader import default_frame_buckets
+        collator = Collator(vocab,
+                            frame_buckets=default_frame_buckets(16000 * 40))
+    else:
+        collator = Collator(vocab)
 
     valid_loader = test_loader = score_loader = None
     if args.eval:
