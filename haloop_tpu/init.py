@@ -156,11 +156,11 @@ class RecognizerSpec:
         """Greedy decode. Returns (hyps, lengths, log_probs, entropies).
         train=True keeps dropout active (test-time-dropout attempts)."""
         if self.kind == "ctc":
-            hyps, lens, ali, scores = RE.temporal_classifier_decode(
+            hyps, lens, ali, scores, sum_ent = RE.temporal_classifier_decode(
                 params, features, input_lengths, key=key, train=train)
             return hyps, lens, jnp.sum(
                 jnp.where(jnp.arange(scores.shape[1])[None] <
-                          input_lengths[:, None], scores, 0.0), -1), None
+                          input_lengths[:, None], scores, 0.0), -1), sum_ent
         if self.kind == "decoder":
             return TR.decoder_decode(params, self.tcfg, features,
                                      input_lengths, target_lengths,
@@ -172,10 +172,10 @@ class RecognizerSpec:
                                      prompt=prompt, max_steps=max_steps,
                                      key=key, train=train)
         if self.kind == "transducer":
-            hyps, lens, _, scores = RE.transducer_greedy_decode(
+            hyps, lens, sum_ent, scores = RE.transducer_greedy_decode(
                 params, features, input_lengths,
                 max_symbols=max_steps or features.shape[1])
-            return hyps, lens, scores, None
+            return hyps, lens, scores, sum_ent
         raise NotImplementedError(self.kind)
 
 

@@ -174,19 +174,24 @@ class System:
                 fusion_layers=self.fusion_layers,
                 fusion_dim=self.fusion_dim,
                 lm_weight=self.args.lm_weight)
+            # frame-posterior entropy is decode-independent: the beam
+            # stat rows carry the same entropy_per_token as greedy's,
+            # keeping active-loop entropy strategies usable with --beam
+            from haloop_tpu.models.recognizer import frame_entropy_sum
+            sum_ent = frame_entropy_sum(lp, feat_lens)
             return (prefixes[:, 0], jnp.maximum(lens[:, 0], 0),
-                    scores[:, 0], None)
+                    scores[:, 0], sum_ent)
         if self.spec.recognizer.kind == "transducer" and self.args.beam > 1:
             from haloop_tpu.ops.beam_device import \
                 transducer_beam_search_batched
-            toks, ulens, scores = transducer_beam_search_batched(
+            toks, ulens, scores, ents = transducer_beam_search_batched(
                 params["recognizer"], feats, feat_lens,
                 beam_width=self.args.beam, max_symbols=max_steps,
                 fusion_params=fusion_params,
                 fusion_layers=self.fusion_layers,
                 fusion_dim=self.fusion_dim,
-                lm_weight=self.args.lm_weight)
-            return toks[:, 0], ulens[:, 0], scores[:, 0], None
+                lm_weight=self.args.lm_weight, return_entropy=True)
+            return toks[:, 0], ulens[:, 0], scores[:, 0], ents[:, 0]
         if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,

@@ -10,6 +10,8 @@ Transducer: Linear transcription head + 2-layer LSTM prediction network
 with additive joint; loss is the scan-based RNN-T lattice.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -85,17 +87,29 @@ def ctc_collapse(alignments, input_lengths):
     return hyps, lengths.astype(jnp.int32)
 
 
+def frame_entropy_sum(log_probs, input_lengths):
+    """Sum over valid frames of (negated) per-frame entropy in bits —
+    the sign convention of the decoder's sum_ent accumulator
+    (models/transformer.py:311), so ``-sum/len`` prints positive
+    entropy-per-token in the stat TSV (ha/loop.py:365)."""
+    ent = jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1) / math.log(2)
+    T = log_probs.shape[1]
+    valid = jnp.arange(T)[None, :] < input_lengths[:, None]
+    return jnp.sum(jnp.where(valid, ent, 0.0), axis=-1)
+
+
 def temporal_classifier_decode(p, features, input_lengths, key=None,
                                train=False):
-    """Greedy decode. Returns (hyps, lengths, alignments, scores).
-    train=True keeps dropout on (test-time-dropout WER estimation,
-    ha/loop.py:345-357)."""
+    """Greedy decode. Returns (hyps, lengths, alignments, scores,
+    sum_ent). train=True keeps dropout on (test-time-dropout WER
+    estimation, ha/loop.py:345-357)."""
     log_probs = temporal_classifier_log_probs(p, features, key=key,
                                               train=train)
     scores = jnp.max(log_probs, axis=-1)
     alignments = jnp.argmax(log_probs, axis=-1)
     hyps, lengths = ctc_collapse(alignments, input_lengths)
-    return hyps, lengths, alignments, scores
+    sum_ent = frame_entropy_sum(log_probs, input_lengths)
+    return hyps, lengths, alignments, scores, sum_ent
 
 
 # ------------------------------------------------------------- Transducer
@@ -168,7 +182,10 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
     whose Transducer.decode raises NotImplementedError
     (ha/recognizer.py:96-97).
 
-    Returns (hyps (N, max_symbols) 0-padded, lengths, None, scores).
+    Returns (hyps (N, max_symbols) 0-padded, lengths, sum_ent, scores)
+    where sum_ent accumulates the (negated, bits) entropy of each
+    live tick's joint posterior — decoder-path sign convention
+    (models/transformer.py:311).
     """
     N, T, F = features.shape
     V = p["classifier"]["weight"].shape[0]
@@ -183,12 +200,13 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
                                   state0, num_layers=lm_layers)
 
     def tick(carry, _):
-        t, u, g, state, hyps, score, done = carry
+        t, u, g, state, hyps, score, sum_ent, done = carry
         f_t = jnp.take_along_axis(
             f, jnp.clip(t, 0, T - 1)[:, None, None], axis=1)[:, 0]  # (N, V)
         logp = jax.nn.log_softmax((f_t + g).astype(jnp.float32), -1)
         tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         val = jnp.max(logp, axis=-1)
+        ent = jnp.sum(jnp.exp(logp) * logp, -1) / math.log(2)
         blank = tok == 0
         emit = ~blank & ~done & (u < max_symbols)
 
@@ -196,6 +214,7 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
             jnp.where(emit, tok, hyps[jnp.arange(N),
                                       jnp.clip(u, 0, max_symbols - 1)]))
         score = jnp.where(done, score, score + val)
+        sum_ent = jnp.where(done, sum_ent, sum_ent + ent)
 
         g_new, state_new = rnn.decoder_step(p["lm"], tok, state,
                                             num_layers=lm_layers)
@@ -207,11 +226,12 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
         t = jnp.where(blank & ~done, t + 1, t)
         u = jnp.where(emit, u + 1, u)
         done = done | (t >= input_lengths) | (u >= max_symbols)
-        return (t, u, g, state, hyps, score, done), None
+        return (t, u, g, state, hyps, score, sum_ent, done), None
 
     init = (jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), g0,
             state0, jnp.zeros((N, max_symbols), jnp.int32),
-            jnp.zeros((N,), jnp.float32), jnp.zeros((N,), bool))
-    (t, u, g, state, hyps, score, done), _ = jax.lax.scan(
+            jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), bool))
+    (t, u, g, state, hyps, score, sum_ent, done), _ = jax.lax.scan(
         tick, init, None, length=step_budget)
-    return hyps, u, None, score
+    return hyps, u, sum_ent, score

@@ -154,7 +154,7 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
                                    lm_layers=2, lm_dim=512,
                                    max_symbols=None, fusion_params=None,
                                    fusion_layers=2, fusion_dim=512,
-                                   lm_weight=0.3):
+                                   lm_weight=0.3, return_entropy=False):
     """Batched on-device monotonic RNN-T beam search.
 
     Monotonic = at most one label per frame (each frame every beam
@@ -174,8 +174,12 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
 
     p: transducer params (models/recognizer.transducer_init layout).
     features: (N, T, F); lengths: (N,).
-    Returns (tokens (N, K, U), ulens (N, K), scores (N, K)) best-first.
+    Returns (tokens (N, K, U), ulens (N, K), scores (N, K)) best-first;
+    with ``return_entropy`` a 4th array (N, K) carries each beam's
+    accumulated per-frame joint-posterior entropy sum (negated, bits —
+    the stat-TSV convention, models/transformer.py:311).
     """
+    import math as _math
     from haloop_tpu.models import rnn as R
     from haloop_tpu.nn.core import linear
 
@@ -202,6 +206,7 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
         tokens0 = jnp.zeros((K, U), jnp.int32)
         ulens0 = jnp.zeros((K,), jnp.int32)
         score0 = jnp.full((K,), NEG_INF).at[0].set(0.0)
+        ent0 = jnp.zeros((K,))
         h0 = jnp.zeros((lm_layers, K, lm_dim))
         c0 = jnp.zeros((lm_layers, K, lm_dim))
         g0, h0, c0 = lm_step(jnp.zeros((K,), jnp.int32), h0, c0)
@@ -215,10 +220,11 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
             lm0 = None
 
         def frame(state, inp):
-            (tokens, ulens, score, h, c, g), lm_state = state
+            (tokens, ulens, score, ent, h, c, g), lm_state = state
             f_t, t = inp
             joint = jax.nn.log_softmax(
                 (f_t[None, :] + g).astype(jnp.float32), -1)   # (K, V)
+            fent = jnp.sum(jnp.exp(joint) * joint, -1) / _math.log(2)
 
             settle = score + joint[:, 0]                      # (K,)
             extend = score[:, None] + joint                   # (K, V)
@@ -244,6 +250,7 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
                                    appended)
             new_ulens = jnp.where(is_settle, new_ulens,
                                   jnp.minimum(new_ulens + 1, U))
+            new_ent = ent[parent] + fent[parent]
             new_h = h[:, parent]
             new_c = c[:, parent]
             new_g = g[parent]
@@ -265,18 +272,22 @@ def transducer_beam_search_batched(p, features, lengths, *, beam_width=4,
             else:
                 new_lm = None
 
-            new = ((new_tokens, new_ulens, top_score, new_h, new_c,
-                    new_g), new_lm)
-            cur = ((tokens, ulens, score, h, c, g), lm_state)
+            new = ((new_tokens, new_ulens, top_score, new_ent, new_h,
+                    new_c, new_g), new_lm)
+            cur = ((tokens, ulens, score, ent, h, c, g), lm_state)
             return jax.tree.map(
                 lambda n, o: jnp.where(
                     jnp.reshape(t < length, (1,) * n.ndim), n, o),
                 new, cur), None
 
-        state0 = ((tokens0, ulens0, score0, h0, c0, g0), lm0)
+        state0 = ((tokens0, ulens0, score0, ent0, h0, c0, g0), lm0)
         state, _ = jax.lax.scan(frame, state0, (f, jnp.arange(T)))
-        tokens, ulens, score = state[0][0], state[0][1], state[0][2]
+        tokens, ulens, score, ents = (state[0][0], state[0][1],
+                                      state[0][2], state[0][3])
         order = jnp.argsort(-score)
+        if return_entropy:
+            return (tokens[order], ulens[order], score[order],
+                    ents[order])
         return tokens[order], ulens[order], score[order]
 
     return jax.vmap(decode_one)(f_all, lengths)

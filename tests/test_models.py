@@ -159,9 +159,13 @@ def test_temporal_classifier_roundtrip():
     loss, _ = RE.temporal_classifier_loss(p, feats, tg, jnp.array([20, 15]),
                                           jnp.array([3, 2]))
     assert np.isfinite(float(loss))
-    hyps, lens, ali, scores = RE.temporal_classifier_decode(
+    hyps, lens, ali, scores, sum_ent = RE.temporal_classifier_decode(
         p, feats, jnp.array([20, 15]))
     assert hyps.shape[0] == 2
+    # entropy sums are negative (sign convention of transformer.py:311)
+    # and bounded by len * log2(vocab)
+    assert np.all(np.asarray(sum_ent) <= 0)
+    assert np.all(np.asarray(sum_ent) >= -np.array([20, 15]) * np.log2(8))
 
 
 def test_ctc_collapse():

@@ -66,3 +66,26 @@ def test_wider_beam_dominates():
     _, _, s4 = transducer_beam_search_batched(
         p, feats, lengths, beam_width=4, lm_layers=lm_layers, lm_dim=lm_dim)
     assert (np.asarray(s4)[:, 0] >= np.asarray(s1)[:, 0] - 1e-5).all()
+
+
+def test_beam_entropy_stat():
+    """return_entropy carries a per-beam entropy sum: negative (bits,
+    transformer.py:311 sign convention), bounded by T * log2(V), and
+    only frames < length contribute."""
+    lm_layers, lm_dim, V, F = 1, 16, 10, 8
+    p = RE.transducer_init(jax.random.PRNGKey(5), feat_dim=F, vocab_size=V,
+                           lm_dim=lm_dim, lm_layers=lm_layers)
+    rng = np.random.default_rng(2)
+    N, T = 2, 9
+    feats = jnp.asarray(rng.normal(size=(N, T, F)).astype(np.float32))
+    lengths = jnp.array([9, 5], jnp.int32)
+
+    toks, ulens, scores, ents = transducer_beam_search_batched(
+        p, feats, lengths, beam_width=2, lm_layers=lm_layers,
+        lm_dim=lm_dim, return_entropy=True)
+    ents = np.asarray(ents)
+    assert ents.shape == (N, 2)
+    assert (ents <= 1e-6).all()
+    assert (ents >= -np.asarray(lengths)[:, None] * np.log2(V) - 1e-6).all()
+    # shorter utterance accumulates over fewer frames
+    assert ents[1, 0] >= -5 * np.log2(V) - 1e-6
