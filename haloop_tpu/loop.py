@@ -608,6 +608,10 @@ def make_parser():
     parser.add_argument('--anomaly', action='store_true',
                         help="Enable jax NaN debugging")
     parser.add_argument('--allow-oom', action='store_true')
+    parser.add_argument('--rnn-q8', action='store_true',
+                        help="int8-resident LSTM recurrence (VMEM-held "
+                             "quantized W_hh; ~2x LSTM step, bf16-level "
+                             "noise; nn/lstm_q8.py)")
     parser.add_argument('--log-interval', type=int, default=100)
     LR.add_arguments(parser)
     parser.add_argument('--star-penalty', type=float, default=None,
@@ -659,6 +663,9 @@ def main():
 
     if args.anomaly:
         jax.config.update("jax_debug_nans", True)
+    if args.rnn_q8:
+        import os
+        os.environ["HALOOP_RNN_Q8"] = "1"
 
     vocab = symbol_tape.make_vocab(args.vocab)
     if args.device_fbank:

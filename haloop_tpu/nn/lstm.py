@@ -42,13 +42,36 @@ def lstm_cell(x_proj, h, c, w_hh):
     return h, c
 
 
+def use_q8():
+    """Opt-in int8-resident recurrence (nn/lstm_pallas.py quant mode):
+    HALOOP_RNN_Q8=1 (hac --rnn-q8 sets it). Changes numerics
+    (~bf16-level noise), so it is never auto-enabled."""
+    import os
+    return os.environ.get("HALOOP_RNN_Q8") == "1"
+
+
+# largest W_hh (bytes, bf16) the resident-weight kernel may claim; the
+# rest of VMEM goes to the streamed x_proj/dgates blocks
+_RESIDENT_LIMIT = 40 * 1024 * 1024
+
+
 def _single_layer(p, layer, x, h0, c0):
-    """x: (T, B, in) -> (T, B, H). One big input matmul + scan over time."""
+    """x: (T, B, in) -> (T, B, H). One big input matmul, then the
+    recurrence: VMEM-resident Pallas kernel on TPU (bf16 weights, or
+    int8 under HALOOP_RNN_Q8), lax.scan elsewhere."""
     w_ih = p[f"weight_ih_l{layer}"].astype(x.dtype)
-    w_hh = p[f"weight_hh_l{layer}"].astype(x.dtype)
     bias = (p[f"bias_ih_l{layer}"] + p[f"bias_hh_l{layer}"]).astype(x.dtype)
     x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
-    ys, h, c = lstm_scan(w_hh, x_proj, h0, c0)
+    w_hh = p[f"weight_hh_l{layer}"]
+    from haloop_tpu.ops.dispatch import use_pallas
+    if use_q8():
+        from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
+        ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, True)
+    elif use_pallas() and 2 * w_hh.size <= _RESIDENT_LIMIT:
+        from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
+        ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, False)
+    else:
+        ys, h, c = lstm_scan(w_hh.astype(x.dtype), x_proj, h0, c0)
     return ys, h, c
 
 

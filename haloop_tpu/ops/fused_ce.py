@@ -79,7 +79,7 @@ def _interp(flag):
         return True
 
 
-def _fused_ce_fwd_impl(x, w, targets, *, tn=256, tv=1024, interpret=False):
+def _fused_ce_fwd_impl(x, w, targets, *, tn=256, tv=2048, interpret=False):
     """x (N, D), w (V, D), targets (N,) -> (nll (N,), lse (N,)) fp32."""
     N, D = x.shape
     V = w.shape[0]
