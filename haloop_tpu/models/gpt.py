@@ -269,7 +269,7 @@ def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
     B, T0 = input_ids.shape
     if key is None:
         key = jax.random.PRNGKey(0)
-    cache = init_cache(cfg, B)
+    cache = init_cache(cfg, B, dtype=p["lm_head"]["weight"].dtype)
     logits, cache = forward(p, cfg, input_ids, past=cache)
 
     def sample(logits, key):

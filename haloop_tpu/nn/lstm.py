@@ -63,11 +63,19 @@ def _single_layer(p, layer, x, h0, c0):
     bias = (p[f"bias_ih_l{layer}"] + p[f"bias_hh_l{layer}"]).astype(x.dtype)
     x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
     w_hh = p[f"weight_hh_l{layer}"]
-    from haloop_tpu.ops.dispatch import use_pallas
+    import os
+    override = os.environ.get("HALOOP_LSTM_KERNEL")  # pin independently
+    if override == "1":
+        resident = True
+    elif override == "0":
+        resident = False
+    else:
+        from haloop_tpu.ops.dispatch import use_pallas
+        resident = use_pallas() and 2 * w_hh.size <= _RESIDENT_LIMIT
     if use_q8():
         from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
         ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, True)
-    elif use_pallas() and 2 * w_hh.size <= _RESIDENT_LIMIT:
+    elif resident:
         from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
         ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, False)
     else:

@@ -36,6 +36,11 @@ def main():
     parser.add_argument('--seed', type=int, default=1337)
     parser.add_argument('--spm', type=str, required=True)
     parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument('--chunk', type=int, default=1,
+                        help="tokens generated per device dispatch: 1 "
+                             "streams like the reference; larger values "
+                             "amortize the per-call latency with one "
+                             "lax.scan per chunk (prints chunk-wise)")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')
@@ -98,6 +103,20 @@ def main():
         logits = jnp.where(logits < kth, -jnp.inf, logits)
         return jax.random.categorical(k, logits, axis=-1)
 
+    @jax.jit
+    def gen_chunk(params, tok, cache, key):
+        """args.chunk single-token steps in ONE dispatch (lax.scan):
+        the per-call host->device latency amortizes over the chunk."""
+        def body(carry, k):
+            tok, cache = carry
+            logits, cache = G.forward(params, cfg, tok[:, None],
+                                      past=cache)
+            nxt = sample(logits, k).astype(jnp.int32)
+            return (nxt, cache), nxt
+        keys = jax.random.split(key, args.chunk)
+        (tok, cache), toks = jax.lax.scan(body, (tok, cache), keys)
+        return toks[:, 0], tok, cache          # (chunk,) for B=1
+
     while True:
         try:
             prompt = input('>- ')
@@ -126,18 +145,40 @@ def main():
                                  if args.dtype == 'bfloat16'
                                  else jnp.float32)
             logits, cache = prefill(params, x, cache)
-            for i in range(args.steps):
-                key, k = jax.random.split(key)
-                tok = sample(logits, k)
-                tid = int(tok[0])
-                if tid == Tok.eos:
-                    break
+
+            def emit(tid):
                 piece = sp.id_to_piece(tid)
                 if piece.startswith('▁'):
                     print(' ', end='')
                     piece = piece[1:]
                 print(piece, end='', flush=True)
-                logits, cache = step(params, tok.astype(jnp.int32), cache)
+
+            if args.chunk > 1:
+                key, k = jax.random.split(key)
+                tok = sample(logits, k).astype(jnp.int32)
+                done = int(tok[0]) == Tok.eos
+                if not done:
+                    emit(int(tok[0]))
+                i = 1
+                while i < args.steps and not done:
+                    key, k = jax.random.split(key)
+                    toks, tok, cache = gen_chunk(params, tok, cache, k)
+                    for tid in np.asarray(toks).tolist():
+                        if tid == Tok.eos or i >= args.steps:
+                            done = True
+                            break
+                        emit(tid)
+                        i += 1
+            else:
+                for i in range(args.steps):
+                    key, k = jax.random.split(key)
+                    tok = sample(logits, k)
+                    tid = int(tok[0])
+                    if tid == Tok.eos:
+                        break
+                    emit(tid)
+                    logits, cache = step(params, tok.astype(jnp.int32),
+                                         cache)
             print()
 
         t1 = time.time()

@@ -73,6 +73,26 @@ def main():
     print(f"hat generate: {dt*1000:.2f} ms/token -> {1/dt:.1f} tokens/s "
           f"(weight-stream ~{bw/1e9:.0f} GB/s)", flush=True)
 
+    # chunked generation (hat --chunk): one lax.scan dispatch per 64
+    # tokens amortizes the remote-tunnel call latency
+    from haloop_tpu.models.gpt import generate
+
+    @jax.jit
+    def gen64(params, ids, key):
+        return generate(params, cfg, ids, 64, top_k=1, key=key)
+
+    ids = jnp.asarray([[50256, 318, 262]], jnp.int32)
+    toks, alive = gen64(params, ids, jax.random.PRNGKey(0))
+    int(toks[0, -1])
+    t0 = time.perf_counter()
+    reps = 4
+    for r in range(reps):
+        toks, alive = gen64(params, ids, jax.random.PRNGKey(r))
+    int(toks[0, -1])
+    dt = (time.perf_counter() - t0) / (reps * 64)
+    print(f"hat generate --chunk 64: {dt*1000:.2f} ms/token -> "
+          f"{1/dt:.1f} tokens/s", flush=True)
+
 
 if __name__ == '__main__':
     main()
