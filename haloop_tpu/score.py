@@ -41,6 +41,22 @@ def _bucket(n, minimum=16):
     return b
 
 
+def pack_by_tokens(token_lists, budget, block_size):
+    """Greedy in-order packing: yield consecutive runs of token lists
+    whose PADDED size (rows x power-of-two width bucket, capped at
+    block_size) stays within ``budget`` tokens."""
+    batch, widest = [], 0
+    for t in token_lists:
+        w = _bucket(max(widest, len(t), 16))
+        if batch and (len(batch) + 1) * min(w, block_size) > budget:
+            yield batch
+            batch, widest = [], 0
+        batch.append(t)
+        widest = max(widest, len(t))
+    if batch:
+        yield batch
+
+
 class Tok:
     eos = 50256
 
@@ -79,6 +95,11 @@ def main():
     parser.add_argument('--bytes', action='store_true',
                         help='tokenize input as raw bytes (no spm needed)')
     parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--tokens-per-batch', type=int, default=16384,
+                        help="pack rows until padded batch reaches this "
+                             "many tokens (keeps the MXU fed when "
+                             "sentences are short; 0 = fixed "
+                             "--batch-size rows like the reference)")
     parser.add_argument('ckpt_path')
     args = parser.parse_args()
 
@@ -117,6 +138,20 @@ def main():
                 print(f'{float(nll[n]) / num_tokens:0.3f}', num_tokens,
                       len(tokens), sep='\t')
 
+    def token_batches(stream):
+        """Yield lists of token lists. With --tokens-per-batch, rows
+        pack greedily (in input order) until the PADDED batch would
+        exceed the budget — short sentences score at large B, long
+        ones at small B, and the MXU stays fed either way."""
+        if args.tokens_per_batch <= 0:
+            for lines in batched(stream, args.batch_size):
+                yield encode(lines)
+            return
+        for lines in batched(stream, 1024):     # tokenize in big chunks
+            yield from pack_by_tokens(encode(lines),
+                                      args.tokens_per_batch,
+                                      cfg.block_size)
+
     # pipeline depth 2: dispatch batch k+1/k+2 before fetching batch k,
     # hiding host tokenization/padding and device->host latency behind
     # device compute (the reference leans on DataLoader workers for
@@ -124,8 +159,7 @@ def main():
     from collections import deque
     pending = deque()
 
-    for i, lines in enumerate(batched(sys.stdin, args.batch_size)):
-        completion_tokens = encode(lines)
+    for i, completion_tokens in enumerate(token_batches(sys.stdin)):
         widest = max(len(p) for p in completion_tokens)
         if widest >= cfg.block_size:
             print(f'warning: batch {i} is too wide ({widest}) and will be '
