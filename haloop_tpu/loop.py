@@ -82,8 +82,37 @@ class System:
             self.fusion_params = jax.tree.map(jnp.asarray, ckpt['model'])
             self.fusion_layers = ckpt['args']['num_layers']
             self.fusion_dim = ckpt['args']['rnn_size']
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0, 1))
+        if self.mesh is not None:
+            # shard_map DP: each shard traces with LOCAL shapes, so the
+            # Pallas kernels (no GSPMD partitioning rules) stay active
+            # on multi-chip; pmean inside the body is the DDP allreduce
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            from haloop_tpu.ops import dispatch
+
+            def dp_step(params, opt_state, inputs, condtargets,
+                        input_lengths, condtarget_lengths, key, step):
+                with dispatch.force_local():
+                    return self._train_step_impl(
+                        params, opt_state, inputs, condtargets,
+                        input_lengths, condtarget_lengths, key, step,
+                        axis='data')
+
+            self._train_step = jax.jit(
+                shard_map(dp_step, mesh=self.mesh,
+                          in_specs=(P(), P(), P('data'), P('data'),
+                                    P('data'), P('data'), P(), P()),
+                          out_specs=(P(), P(), P(), P(), P()),
+                          check_rep=False),
+                donate_argnums=(0, 1))
+            # ragged tail batches that don't divide the mesh fall back
+            # to replicated compute (donation off: params must survive
+            # for the sharded step's buffers)
+            self._train_step_ragged = jax.jit(self._train_step_impl)
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0, 1))
+            self._train_step_ragged = self._train_step
         self._eval_forward = jax.jit(
             self._forward_impl,
             static_argnames=("train", "measure_entropy", "return_stats"))
@@ -130,7 +159,18 @@ class System:
         return loss, feats, feat_lens
 
     def _train_step_impl(self, params, opt_state, inputs, condtargets,
-                         input_lengths, condtarget_lengths, key, step):
+                         input_lengths, condtarget_lengths, key, step,
+                         axis=None):
+        """One train step. With ``axis`` this is the per-shard body of a
+        shard_map over the data mesh: each shard sees its local batch
+        (so the Pallas kernels stay eligible — ops/dispatch.force_local)
+        and gradients are psum-averaged here, the shard_map analog of
+        DDP allreduce (ha/attention_loop.py:196-203)."""
+        if axis is not None:
+            # per-shard dropout streams (reference per-rank seeds,
+            # ha/attention_loop.py:75)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
         def loss_fn(p):
             loss, _, _ = self._forward_impl(
                 p, inputs, condtargets, input_lengths, condtarget_lengths,
@@ -138,6 +178,9 @@ class System:
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
 
         # encoder-only clipping (reference quirk ha/loop.py:183-184)
         enc_norm = global_norm(grads["encoder"])
@@ -255,8 +298,12 @@ class System:
                            condtarget_lengths)
             try:
                 if args.accumulate == 1:
+                    step_fn = self._train_step
+                    if self.mesh is not None and \
+                            len(inputs) % self.mesh.devices.size:
+                        step_fn = self._train_step_ragged
                     (self.params, self.opt_state, loss, grad_norm,
-                     bad) = self._train_step(
+                     bad) = step_fn(
                         self.params, self.opt_state, inputs, condtargets,
                         input_lengths, condtarget_lengths, step_key,
                         jnp.int32(global_step))

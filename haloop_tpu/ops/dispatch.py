@@ -3,9 +3,27 @@ pure-XLA formulations elsewhere (CPU tests run both via interpret-mode
 parity tests). HALOOP_KERNELS=0 force-disables, =1 force-enables
 (interpret mode off-TPU) — useful for A/B benchmarks."""
 
+import contextlib
 import os
 
 import jax
+
+# set while tracing a shard_map body: every shard is one device there,
+# so the kernels are safe regardless of the global device count
+_LOCAL = False
+
+
+@contextlib.contextmanager
+def force_local():
+    """Mark the enclosed trace as per-device (inside shard_map): kernel
+    dispatch may ignore the global device count."""
+    global _LOCAL
+    prev = _LOCAL
+    _LOCAL = True
+    try:
+        yield
+    finally:
+        _LOCAL = prev
 
 
 def use_pallas():
@@ -13,10 +31,11 @@ def use_pallas():
     if env is not None:
         return env != "0"
     try:
-        # single-chip only by default: GSPMD has no partitioning rules
-        # for custom kernels, so under a multi-device mesh the XLA
-        # formulations (which shard transparently) are the safe path
-        # until the kernels are wrapped in shard_map.
-        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+        if jax.default_backend() != "tpu":
+            return False
+        # single-chip by default: GSPMD has no partitioning rules for
+        # custom kernels. Multi-device paths that want the kernels run
+        # inside shard_map and mark the trace with force_local().
+        return _LOCAL or len(jax.devices()) == 1
     except Exception:
         return False

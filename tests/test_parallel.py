@@ -110,18 +110,26 @@ def test_hac_data_parallel_matches_single_device():
         sharded = system.shard(inputs, ct, il, tl)
         if mesh is not None:
             assert sharded[0].sharding.spec == P('data')
+
+        # deterministic forward (no dropout): sharded == single exactly
+        eval_loss, _, _ = system._eval_forward(
+            system.params, *sharded, jax.random.PRNGKey(9), train=False)
         for step in range(3):
             (system.params, system.opt_state, loss, gn, bad) = \
                 system._train_step(system.params, system.opt_state,
                                    *sharded, jax.random.PRNGKey(step),
                                    jnp.int32(step))
-        results.append((float(loss),
+        results.append((float(eval_loss), float(loss),
                         jax.tree.map(np.asarray, system.params)))
 
-    (loss_a, params_a), (loss_b, params_b) = results
-    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    (ev_a, loss_a, params_a), (ev_b, loss_b, params_b) = results
+    np.testing.assert_allclose(ev_a, ev_b, rtol=1e-5)
+    # the train step draws per-shard dropout keys inside shard_map (the
+    # reference's per-rank seeds, ha/attention_loop.py:75), so the DP
+    # run matches single-device only up to dropout-mask noise
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-2)
     for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)
 
 
 def test_sharded_checkpoint_roundtrip(tmp_path):
