@@ -57,9 +57,16 @@ def temporal_classifier_loss(p, features, targets, input_lengths=None,
             losses = ctc_forward_score(log_probs, targets, input_lengths,
                                        target_lengths)
     else:
-        losses = star_ctc_forward_score(log_probs, targets, input_lengths,
-                                        target_lengths,
-                                        star_penalty=star_penalty)
+        from haloop_tpu.ops.dispatch import use_pallas
+        if use_pallas():
+            from haloop_tpu.ops.star_pallas import star_ctc_loss_pallas
+            losses = star_ctc_loss_pallas(log_probs, targets,
+                                          input_lengths, target_lengths,
+                                          star_penalty=star_penalty)
+        else:
+            losses = star_ctc_forward_score(log_probs, targets,
+                                            input_lengths, target_lengths,
+                                            star_penalty=star_penalty)
     return ctc_reduce_mean(losses, jnp.maximum(target_lengths, 1)), {}
 
 
