@@ -86,8 +86,8 @@ class System:
             # shard_map DP: each shard traces with LOCAL shapes, so the
             # Pallas kernels (no GSPMD partitioning rules) stay active
             # on multi-chip; pmean inside the body is the DDP allreduce
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
+            from jax import shard_map
             from haloop_tpu.ops import dispatch
 
             def dp_step(params, opt_state, inputs, condtargets,
@@ -103,7 +103,7 @@ class System:
                           in_specs=(P(), P(), P('data'), P('data'),
                                     P('data'), P('data'), P(), P()),
                           out_specs=(P(), P(), P(), P(), P()),
-                          check_rep=False),
+                          check_vma=False),
                 donate_argnums=(0, 1))
             # ragged tail batches that don't divide the mesh fall back
             # to replicated compute (donation off: params must survive
