@@ -55,17 +55,11 @@ def _lse_kernel(f_ref, g_ref, out_ref, *, U1, UP):
     out_ref[0] = acc
 
 
-def _df_kernel(f_ref, g_ref, lse_ref, dl_ref, df_ref, *, U1):
-    f = f_ref[0].astype(jnp.float32)
-    acc = jnp.zeros_like(f)
-    for u in range(U1):
-        p = jnp.exp(f + g_ref[0, u, :][None, :].astype(jnp.float32)
-                    - lse_ref[0, :, u][:, None])
-        acc = acc + p * dl_ref[0, :, u][:, None]
-    df_ref[0] = acc.astype(df_ref.dtype)
-
-
-def _dg_kernel(f_ref, g_ref, lse_ref, dl_ref, dg_ref, dg_acc, *, U1):
+def _dfg_kernel(f_ref, g_ref, lse_ref, dl_ref, df_ref, dg_ref, dg_acc,
+                *, U1):
+    """Fused df AND dg: the joint softmax p is the expensive part
+    (exp over (TT, V) per u) and both grads consume the same p, so one
+    pass computes p once and feeds both accumulators."""
     ti = pl.program_id(1)
     nt = pl.num_programs(1)
 
@@ -74,11 +68,14 @@ def _dg_kernel(f_ref, g_ref, lse_ref, dl_ref, dg_ref, dg_acc, *, U1):
         dg_acc[:] = jnp.zeros_like(dg_acc)
 
     f = f_ref[0].astype(jnp.float32)
+    facc = jnp.zeros_like(f)
     for u in range(U1):
-        p = jnp.exp(f + g_ref[0, u, :][None, :].astype(jnp.float32)
-                    - lse_ref[0, :, u][:, None])
-        contrib = jnp.sum(p * dl_ref[0, :, u][:, None], 0)    # (V,)
-        dg_acc[u, :] += contrib
+        pdl = jnp.exp(f + g_ref[0, u, :][None, :].astype(jnp.float32)
+                      - lse_ref[0, :, u][:, None]) * \
+            dl_ref[0, :, u][:, None]                          # (TT, V)
+        facc = facc + pdl
+        dg_acc[u, :] += jnp.sum(pdl, 0)                       # (V,)
+    df_ref[0] = facc.astype(df_ref.dtype)
 
     @pl.when(ti == nt - 1)
     def _():
@@ -144,8 +141,8 @@ def _lse_bwd_impl(f, g, lse, dlse, interpret=False):
     # zero upstream grads on padded rows so they contribute nothing
     dlp = jnp.pad(dlse, ((0, 0), (0, TP - T), (0, UP - U1)))
 
-    df = pl.pallas_call(
-        functools.partial(_df_kernel, U1=U1),
+    df, dg = pl.pallas_call(
+        functools.partial(_dfg_kernel, U1=U1),
         grid=(N, TP // TT),
         in_specs=[
             pl.BlockSpec((1, TT, VP), lambda n, t: (n, t, 0),
@@ -157,28 +154,16 @@ def _lse_bwd_impl(f, g, lse, dlse, interpret=False):
             pl.BlockSpec((1, TT, UP), lambda n, t: (n, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TT, VP), lambda n, t: (n, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, TP, VP), f.dtype),
-        interpret=_interp(interpret),
-    )(fp, gp, lsep, dlp)
-
-    dg = pl.pallas_call(
-        functools.partial(_dg_kernel, U1=U1),
-        grid=(N, TP // TT),
-        in_specs=[
+        out_specs=[
             pl.BlockSpec((1, TT, VP), lambda n, t: (n, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, UG, VP), lambda n, t: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, UP), lambda n, t: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, UP), lambda n, t: (n, t, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, UG, VP), lambda n, t: (n, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, UG, VP), g.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, TP, VP), f.dtype),
+            jax.ShapeDtypeStruct((N, UG, VP), g.dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((UG, VP), jnp.float32)],
         interpret=_interp(interpret),
     )(fp, gp, lsep, dlp)
