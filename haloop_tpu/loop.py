@@ -221,9 +221,9 @@ class System:
             # stat rows carry the same entropy_per_token as greedy's,
             # keeping active-loop entropy strategies usable with --beam
             from haloop_tpu.models.recognizer import frame_entropy_sum
-            sum_ent = frame_entropy_sum(lp, feat_lens)
-            return (prefixes[:, 0], jnp.maximum(lens[:, 0], 0),
-                    scores[:, 0], sum_ent)
+            blens = jnp.maximum(lens[:, 0], 0)
+            sum_ent = frame_entropy_sum(lp, feat_lens, blens)
+            return prefixes[:, 0], blens, scores[:, 0], sum_ent
         if self.spec.recognizer.kind == "transducer" and self.args.beam > 1:
             from haloop_tpu.ops.beam_device import \
                 transducer_beam_search_batched
@@ -234,7 +234,11 @@ class System:
                 fusion_layers=self.fusion_layers,
                 fusion_dim=self.fusion_dim,
                 lm_weight=self.args.lm_weight, return_entropy=True)
-            return toks[:, 0], ulens[:, 0], scores[:, 0], ents[:, 0]
+            # one joint per frame (monotonic beam): rescale so the stat
+            # row's entropy_per_token is the mean per-frame entropy
+            ent = ents[:, 0] * jnp.maximum(ulens[:, 0], 1) / \
+                jnp.maximum(feat_lens, 1)
+            return toks[:, 0], ulens[:, 0], scores[:, 0], ent
         if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,

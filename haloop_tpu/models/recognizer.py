@@ -94,15 +94,24 @@ def ctc_collapse(alignments, input_lengths):
     return hyps, lengths.astype(jnp.int32)
 
 
-def frame_entropy_sum(log_probs, input_lengths):
-    """Sum over valid frames of (negated) per-frame entropy in bits —
-    the sign convention of the decoder's sum_ent accumulator
-    (models/transformer.py:311), so ``-sum/len`` prints positive
-    entropy-per-token in the stat TSV (ha/loop.py:365)."""
+def frame_entropy_sum(log_probs, input_lengths, hyp_lengths=None):
+    """(Negated, bits) frame-posterior entropy, summed over valid
+    frames — decoder-path sign convention (models/transformer.py:311)
+    so ``-sum/len`` prints positive in the stat TSV (ha/loop.py:365).
+
+    With ``hyp_lengths`` the sum is rescaled by hyp_len/n_frames so the
+    printed ``entropy_per_token`` (which divides by hyp_len) reads as
+    the MEAN per-frame entropy in [0, log2 V] — comparable across
+    decode modes for the active loop's entropy strategy. (The reference
+    returns no entropy at all for CTC decodes, ha/recognizer.py:59.)"""
     ent = jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1) / math.log(2)
     T = log_probs.shape[1]
     valid = jnp.arange(T)[None, :] < input_lengths[:, None]
-    return jnp.sum(jnp.where(valid, ent, 0.0), axis=-1)
+    total = jnp.sum(jnp.where(valid, ent, 0.0), axis=-1)
+    if hyp_lengths is None:
+        return total
+    frames = jnp.maximum(input_lengths, 1).astype(jnp.float32)
+    return total * jnp.maximum(hyp_lengths, 1) / frames
 
 
 def temporal_classifier_decode(p, features, input_lengths, key=None,
@@ -115,7 +124,7 @@ def temporal_classifier_decode(p, features, input_lengths, key=None,
     scores = jnp.max(log_probs, axis=-1)
     alignments = jnp.argmax(log_probs, axis=-1)
     hyps, lengths = ctc_collapse(alignments, input_lengths)
-    sum_ent = frame_entropy_sum(log_probs, input_lengths)
+    sum_ent = frame_entropy_sum(log_probs, input_lengths, lengths)
     return hyps, lengths, alignments, scores, sum_ent
 
 
@@ -207,7 +216,7 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
                                   state0, num_layers=lm_layers)
 
     def tick(carry, _):
-        t, u, g, state, hyps, score, sum_ent, done = carry
+        t, u, g, state, hyps, score, sum_ent, ticks, done = carry
         f_t = jnp.take_along_axis(
             f, jnp.clip(t, 0, T - 1)[:, None, None], axis=1)[:, 0]  # (N, V)
         logp = jax.nn.log_softmax((f_t + g).astype(jnp.float32), -1)
@@ -222,6 +231,7 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
                                       jnp.clip(u, 0, max_symbols - 1)]))
         score = jnp.where(done, score, score + val)
         sum_ent = jnp.where(done, sum_ent, sum_ent + ent)
+        ticks = jnp.where(done, ticks, ticks + 1)
 
         g_new, state_new = rnn.decoder_step(p["lm"], tok, state,
                                             num_layers=lm_layers)
@@ -233,12 +243,14 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
         t = jnp.where(blank & ~done, t + 1, t)
         u = jnp.where(emit, u + 1, u)
         done = done | (t >= input_lengths) | (u >= max_symbols)
-        return (t, u, g, state, hyps, score, sum_ent, done), None
+        return (t, u, g, state, hyps, score, sum_ent, ticks, done), None
 
     init = (jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), g0,
             state0, jnp.zeros((N, max_symbols), jnp.int32),
             jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32),
-            jnp.zeros((N,), bool))
-    (t, u, g, state, hyps, score, sum_ent, done), _ = jax.lax.scan(
+            jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool))
+    (t, u, g, state, hyps, score, sum_ent, ticks, done), _ = jax.lax.scan(
         tick, init, None, length=step_budget)
+    # scale so -sum_ent/hyp_len reads as MEAN per-tick entropy (bits)
+    sum_ent = sum_ent * jnp.maximum(u, 1) / jnp.maximum(ticks, 1)
     return hyps, u, sum_ent, score
