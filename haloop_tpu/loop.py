@@ -17,7 +17,6 @@ TPU-native redesign of the reference's CUDA loop:
 
 from collections import Counter, defaultdict
 from itertools import pairwise
-import sys
 import time
 
 import jax

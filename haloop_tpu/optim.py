@@ -15,7 +15,6 @@ Note: the reference lists 'noam' in get_lr but omits it from the CLI
 choices (unreachable; SURVEY.md §7 quirk). We expose it.
 """
 
-import math
 
 import jax
 import jax.numpy as jnp

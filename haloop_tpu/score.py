@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from haloop_tpu import argparse
-from haloop_tpu.init import load_model, log
+from haloop_tpu.init import load_model
 from haloop_tpu.models import gpt as G
 
 
