@@ -1,0 +1,51 @@
+"""hap end-to-end through the CLI: init a tiny GPT with hai, score a
+byte-tokenized corpus, and assert the token-budget packing produces
+byte-identical output to reference-style fixed batching."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def run(cmd, **kw):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          **kw)
+
+
+@pytest.fixture(scope="module")
+def nano_ckpt(tmp_path_factory):
+    exp = tmp_path_factory.mktemp("hap") / "nano"
+    r = run([sys.executable, "-m", "haloop_tpu.init",
+             "gpt-nano:300:64", str(exp)])
+    assert r.returncode == 0, r.stderr
+    return str(exp / "best.pt")
+
+
+LINES = ("hello world\n"
+         "the quick brown fox jumps over the lazy dog\n"
+         "hi\n"
+         "a considerably longer sentence that should land in a wider "
+         "bucket than the rest\n"
+         "short\n")
+
+
+def test_hap_packing_matches_fixed_batching(nano_ckpt):
+    packed = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+                  nano_ckpt], input=LINES)
+    fixed = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+                 "--tokens-per-batch", "0", "--batch-size", "2",
+                 nano_ckpt], input=LINES)
+    assert packed.returncode == 0, packed.stderr
+    assert fixed.returncode == 0, fixed.stderr
+    assert packed.stdout == fixed.stdout
+    # three columns per line, one line per input sentence
+    rows = [l.split("\t") for l in packed.stdout.strip().split("\n")]
+    assert len(rows) == 5
+    assert all(len(r) == 3 for r in rows)
+    # byte tokenizer: token count equals byte length (within block size)
+    assert int(rows[0][1]) == len("hello world")
