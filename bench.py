@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # hac's default: hardware RngBitGenerator for dropout (threefry
+    # costs ~15% of this step; loop.py --prng)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from haloop_tpu.init import create_model
     from haloop_tpu.loop import System, make_parser
 

@@ -163,6 +163,7 @@ def make_train_step(cfg, args, tx, compute_dtype):
 
 def main():
     args = make_parser().parse_args()
+    jax.config.update('jax_default_prng_impl', 'rbg')  # fast dropout RNG (loop.py --prng rationale)
 
     from haloop_tpu.parallel.mesh import maybe_init_distributed
     maybe_init_distributed()

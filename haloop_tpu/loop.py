@@ -661,7 +661,12 @@ def make_parser():
     parser.add_argument('--rnn-q8', action='store_true',
                         help="int8-resident LSTM recurrence (VMEM-held "
                              "quantized W_hh; ~2x LSTM step, bf16-level "
-                             "noise; nn/lstm_q8.py)")
+                             "noise; nn/lstm_pallas.py)")
+    parser.add_argument('--prng', choices=['rbg', 'threefry'],
+                        default='rbg',
+                        help="dropout PRNG: XLA's hardware RngBitGenerator"
+                             " (default; threefry costs ~15%% of the "
+                             "lstm:512 step) or jax's default threefry")
     parser.add_argument('--log-interval', type=int, default=100)
     LR.add_arguments(parser)
     parser.add_argument('--star-penalty', type=float, default=None,
@@ -716,6 +721,8 @@ def main():
     if args.rnn_q8:
         import os
         os.environ["HALOOP_RNN_Q8"] = "1"
+    # must precede every PRNGKey creation (System.__init__)
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     vocab = symbol_tape.make_vocab(args.vocab)
     if args.device_fbank:

@@ -360,6 +360,7 @@ def main():
     parser.add_argument('--complete-file', type=Path, nargs='+')
     parser.add_argument('--num-workers', type=int, default=1)
     args = parser.parse_args()
+    jax.config.update('jax_default_prng_impl', 'rbg')  # fast dropout RNG (loop.py --prng rationale)
 
     self = System(args)
 
