@@ -66,7 +66,10 @@ def embedding_init(key, num, dim, std=0.02):
 
 def embedding(p, ids):
     # clip (not NaN-fill) out-of-range ids: robust to special tokens
-    # beyond a small vocab
+    # beyond a small vocab. XLA's scatter-add backward is fine on TPU
+    # (3.7 ms for 8k GPT-2-vocab tokens — FASTER than a one-hot matmul
+    # formulation, measured with single-scalar fetches; beware per-leaf
+    # host fetches skewing microbenchmarks through the remote tunnel).
     return jnp.take(p["weight"], ids, axis=0, mode="clip")
 
 

@@ -146,14 +146,21 @@ def _fwd(x, w, targets, interpret):
 def _bwd(interpret, res, g):
     # standard XLA backward from the saved lse: p = softmax(logits);
     # dlogits = (p - onehot(t)) * g. Materializes (N, V) once — the
-    # same cost as the non-fused training path it replaces.
+    # same cost as the non-fused training path it replaces. Matmuls
+    # stay in the input dtype (bf16 on the training path) with fp32
+    # accumulation; the one-hot is a scatter-subtract, not an (N, V)
+    # fp32 tensor.
     x, w, targets, lse = res
-    logits = (x @ w.T.astype(x.dtype)).astype(jnp.float32)
-    p = jnp.exp(logits - lse[:, None])
-    onehot = jax.nn.one_hot(targets, w.shape[0], dtype=p.dtype)
-    dlogits = (p - onehot) * g[:, None]
-    dx = (dlogits @ w.astype(jnp.float32)).astype(x.dtype)
-    dw = (dlogits.T @ x.astype(jnp.float32)).astype(w.dtype)
+    logits = jnp.dot(x, w.T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    dlogits = jnp.exp(logits - lse[:, None]) * g[:, None]
+    rows = jnp.arange(targets.shape[0])
+    dlogits = dlogits.at[rows, targets.astype(jnp.int32)].add(-g)
+    dlogits = dlogits.astype(x.dtype)
+    dx = jnp.dot(dlogits, w.astype(x.dtype),
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jnp.dot(dlogits.T, x,
+                 preferred_element_type=jnp.float32).astype(w.dtype)
     return dx, dw, None
 
 
