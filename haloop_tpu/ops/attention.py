@@ -54,7 +54,7 @@ def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
     """
     T, S = q.shape[-2], k.shape[-2]
     if (mask is None and not measure_entropy and use_flash != "never"
-            and _flash_worthwhile(q, k)):
+            and _flash_worthwhile(q, k, causal)):
         from haloop_tpu.ops.flash import flash_attention
         if kv_lengths is None:
             kv_lengths = jnp.full((q.shape[0],), S, jnp.int32)
@@ -71,12 +71,14 @@ def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
     return attend(q, k, v, mask=mask, measure_entropy=measure_entropy)
 
 
-def _flash_worthwhile(q, k):
+def _flash_worthwhile(q, k, causal=False):
     """Use the Pallas kernel only on TPU and for long-enough sequences
-    (short ones are faster through plain XLA fusion). With the auto
-    block sizes the kernel wins from T=256 up (fwd AND bwd, measured on
-    v5e — PERFORMANCE.md); tiny-query shapes (decoder cross-attention,
-    U~24) stay on the fused XLA path where the score matrix is small."""
+    (short ones are faster through plain XLA fusion). Measured on v5e
+    with the auto block sizes: causal wins from T=256 (block skipping
+    pays immediately); non-causal needs T>=512 — at the e6ctc encoder's
+    T'=300 the single padded-to-384 block costs ~1.2 ms/step MORE than
+    XLA's fused attention across 6 layers. Tiny-query shapes (decoder
+    cross-attention, U~24) stay on the fused XLA path."""
     import os
     if os.environ.get("HALOOP_KERNELS") == "0":
         return False
@@ -84,4 +86,5 @@ def _flash_worthwhile(q, k):
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and q.shape[-2] >= 256 and k.shape[-2] >= 256
+    floor = 256 if causal else 512
+    return on_tpu and q.shape[-2] >= floor and k.shape[-2] >= floor

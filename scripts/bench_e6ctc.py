@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update('jax_default_prng_impl', 'rbg')  # trainer default
+
 sys.path.insert(0, ".")
 
 from haloop_tpu.init import create_model
