@@ -73,6 +73,9 @@ def make_parser():
                         help="shard attention/MLP over a 'model' mesh "
                              "axis of this size (Megatron layout)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--prng", choices=["rbg", "threefry"],
+                        default="rbg",
+                        help="dropout PRNG (see hac --prng)")
     parser.add_argument("--wandb", action="store_true")
     return parser
 
@@ -163,7 +166,7 @@ def make_train_step(cfg, args, tx, compute_dtype):
 
 def main():
     args = make_parser().parse_args()
-    jax.config.update('jax_default_prng_impl', 'rbg')  # fast dropout RNG (loop.py --prng rationale)
+    jax.config.update('jax_default_prng_impl', args.prng)
 
     from haloop_tpu.parallel.mesh import maybe_init_distributed
     maybe_init_distributed()

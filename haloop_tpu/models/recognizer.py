@@ -153,8 +153,16 @@ def transducer_loss(p, features, targets, input_lengths=None,
         target_lengths = jnp.full((N,), U, jnp.int32)
 
     lm_targets = jnp.pad(targets, ((0, 0), (1, 0)))          # blank-started
+    # the reference runs its whole forward (prediction net included)
+    # under fp16 autocast (ha/loop.py:121, ha/recognizer.py:109-118);
+    # bf16 here, with the joint/lattice math kept in fp32 below
+    lm_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, p["lm"])
     state = rnn.decoder_init_hidden(lm_layers, N, lm_dim)
-    g, _ = rnn.decoder_apply(p["lm"], lm_targets, state, num_layers=lm_layers,
+    state = jax.tree.map(lambda x: x.astype(jnp.bfloat16), state)
+    g, _ = rnn.decoder_apply(lm_params, lm_targets, state,
+                             num_layers=lm_layers,
                              batch_first=True)                # (N, U+1, V)
 
     x = dropout(key, features, p_drop, deterministic=not train)

@@ -64,20 +64,25 @@ def _single_layer(p, layer, x, h0, c0):
     x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
     w_hh = p[f"weight_hh_l{layer}"]
     import os
+    wbytes = w_hh.dtype.itemsize * w_hh.size
     override = os.environ.get("HALOOP_LSTM_KERNEL")  # pin independently
-    if override == "1":
-        resident = True
-    elif override == "0":
-        resident = False
+    if override in ("0", "1"):
+        eligible = override == "1"
     else:
+        # same multi-device gate as every other kernel (GSPMD has no
+        # partitioning rules for pallas_call; shard_map bodies mark the
+        # trace with force_local), plus the VMEM residency budget
         from haloop_tpu.ops.dispatch import use_pallas
-        resident = use_pallas() and 2 * w_hh.size <= _RESIDENT_LIMIT
-    if use_q8():
+        eligible = use_pallas() and wbytes <= _RESIDENT_LIMIT
+    if use_q8() and eligible:
         from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
         ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, True)
-    elif resident:
+    elif eligible:
+        # the kernel computes in the layer's compute dtype (x.dtype):
+        # bf16 paths keep bf16 speed, fp32 paths keep fp32 precision
         from haloop_tpu.nn.lstm_pallas import lstm_scan_pallas
-        ys, h, c = lstm_scan_pallas(w_hh, x_proj, h0, c0, False)
+        ys, h, c = lstm_scan_pallas(w_hh.astype(x.dtype), x_proj, h0, c0,
+                                    False)
     else:
         ys, h, c = lstm_scan(w_hh.astype(x.dtype), x_proj, h0, c0)
     return ys, h, c

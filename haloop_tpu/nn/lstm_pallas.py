@@ -37,17 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(n, m):
-    return (n + m - 1) // m * m
-
-
-def _interp(flag):
-    if flag:
-        return True
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:
-        return True
+from haloop_tpu.ops.ctc_pallas import _interp, _round_up
 
 
 def quantize_rows(w):
@@ -71,9 +61,13 @@ _PARAMS = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
 
 # ------------------------------------------------------------- forward
 
-def _fwd_kernel(quant, H, out_dtype, xp_ref, w_ref, sdiv_ref, h0_ref,
-                c0_ref, ys_ref, acts_ref, cs_ref, hl_ref, cl_ref,
-                h_s, c_s):
+def _fwd_kernel(quant, H, out_dtype, residuals, *refs):
+    if residuals:
+        (xp_ref, w_ref, sdiv_ref, h0_ref, c0_ref,
+         ys_ref, acts_ref, cs_ref, hl_ref, cl_ref, h_s, c_s) = refs
+    else:
+        (xp_ref, w_ref, sdiv_ref, h0_ref, c0_ref,
+         ys_ref, hl_ref, cl_ref, h_s, c_s) = refs
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -91,8 +85,10 @@ def _fwd_kernel(quant, H, out_dtype, xp_ref, w_ref, sdiv_ref, h0_ref,
             preferred_element_type=jnp.int32)               # (Bp, 4Hp)
         rec = acc.astype(jnp.float32) * sdiv_ref[:]         # sdiv = s/127
     else:
+        # recurrent matmul in the layer's compute dtype (bf16 paths keep
+        # bf16 MXU speed, fp32 paths full precision), fp32 accumulation
         rec = jax.lax.dot_general(
-            h.astype(jnp.bfloat16), w_ref[:],
+            h.astype(w_ref.dtype), w_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (Bp, 4Hp)
     gates = xp_ref[0].astype(jnp.float32) + rec
@@ -105,9 +101,11 @@ def _fwd_kernel(quant, H, out_dtype, xp_ref, w_ref, sdiv_ref, h0_ref,
     h_s[:] = h
     c_s[:] = c
     ys_ref[0] = h.astype(out_dtype)
-    # cuDNN-style residuals: the backward reruns NO forward math
-    acts_ref[0] = jnp.concatenate([i, f, g, o], -1).astype(jnp.bfloat16)
-    cs_ref[0] = c.astype(jnp.bfloat16)
+    if residuals:
+        # cuDNN-style residuals: the backward reruns NO forward math
+        acts_ref[0] = jnp.concatenate([i, f, g, o], -1
+                                      ).astype(acts_ref.dtype)
+        cs_ref[0] = c.astype(cs_ref.dtype)
 
     @pl.when(t == T - 1)
     def _():
@@ -124,9 +122,11 @@ def _pad_gatewise(a, H, Hp, axis):
     return g.reshape(a.shape[:axis] + (4 * Hp,) + a.shape[axis + 1:])
 
 
-def _fwd(w, s, x_proj, h0, c0, quant, interpret=False):
-    """x_proj (T, B, 4H); w: (4H, H) int8 (quant) or bf16; s (4H,) or
-    None. Returns (ys (T, B, H), h_last, c_last) with h/c in fp32."""
+def _fwd(w, s, x_proj, h0, c0, quant, interpret=False, residuals=True):
+    """x_proj (T, B, 4H); w: (4H, H) int8 (quant) or x_proj's dtype;
+    s (4H,) or None. With ``residuals`` also streams gate activations
+    and cell states out for the backward; the primal (no-grad) path
+    skips them (saves (T, B, 5H) of HBM writes per layer)."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
     Hp = _round_up(H, 128)
@@ -150,9 +150,32 @@ def _fwd(w, s, x_proj, h0, c0, quant, interpret=False):
     else:
         sdiv = (s / 127.0).astype(jnp.float32)[None, :]
     out_dtype = x_proj.dtype
+    # residual dtype follows the compute dtype (q8 opted into noise)
+    res_dtype = jnp.bfloat16 if (quant or out_dtype == jnp.bfloat16) \
+        else jnp.float32
 
-    kernel = functools.partial(_fwd_kernel, quant, Hp, out_dtype)
-    ys, acts, cs, hl, cl = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, quant, Hp, out_dtype,
+                               residuals)
+    out_specs = [pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0), **_VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((T, Bp, Hp), out_dtype)]
+    if residuals:
+        out_specs += [
+            pl.BlockSpec((1, Bp, 4 * Hp), lambda t: (t, 0, 0), **_VMEM),
+            pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0), **_VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, Bp, 4 * Hp), res_dtype),
+            jax.ShapeDtypeStruct((T, Bp, Hp), res_dtype),
+        ]
+    out_specs += [
+        pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
+        pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -162,20 +185,8 @@ def _fwd(w, s, x_proj, h0, c0, quant, interpret=False):
             pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
             pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0), **_VMEM),
-            pl.BlockSpec((1, Bp, 4 * Hp), lambda t: (t, 0, 0), **_VMEM),
-            pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0), **_VMEM),
-            pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
-            pl.BlockSpec((Bp, Hp), lambda t: (0, 0), **_VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, Hp), out_dtype),
-            jax.ShapeDtypeStruct((T, Bp, 4 * Hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, Bp, Hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((Bp, Hp), jnp.float32),
             pltpu.VMEM((Bp, Hp), jnp.float32),
@@ -183,11 +194,15 @@ def _fwd(w, s, x_proj, h0, c0, quant, interpret=False):
         compiler_params=_PARAMS,
         interpret=_interp(interpret),
     )(x_proj, w, sdiv, h0.astype(jnp.float32), c0.astype(jnp.float32))
-    acts = acts[:, :B]
-    if Hp != H:
-        acts = acts.reshape(T, B, 4, Hp)[..., :H].reshape(T, B, 4 * H)
-    return (ys[:, :B, :H], acts, cs[:, :B, :H],
-            hl[:B, :H], cl[:B, :H])
+    if residuals:
+        ys, acts, cs, hl, cl = outs
+        acts = acts[:, :B]
+        if Hp != H:
+            acts = acts.reshape(T, B, 4, Hp)[..., :H].reshape(T, B, 4 * H)
+        return (ys[:, :B, :H], acts, cs[:, :B, :H],
+                hl[:B, :H], cl[:B, :H])
+    ys, hl, cl = outs
+    return ys[:, :B, :H], None, None, hl[:B, :H], cl[:B, :H]
 
 
 # ------------------------------------------------------------ backward
@@ -230,7 +245,7 @@ def _bwd_kernel(quant, H, dys_ref, gat_ref, cp_ref, cs_ref, w_ref,
         dh_s[:] = acc.astype(jnp.float32) * (m / 127.0)
     else:
         dh_s[:] = jax.lax.dot_general(
-            dgates.astype(jnp.bfloat16), w_ref[:],
+            dgates.astype(w_ref.dtype), w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     dc_s[:] = dc * f
@@ -240,9 +255,9 @@ def _bwd_kernel(quant, H, dys_ref, gat_ref, cp_ref, cs_ref, w_ref,
 
 def _bwd(w, s, gates, c_prev, cs, dys, dh_last, dc_last, quant,
          interpret=False):
-    """gates: (T, B, 4H) post-activation (i,f,g,o) bf16 saved by the
-    forward; cs (T, B, H) bf16 cell states. Returns
-    (dgates (T, B, 4H) bf16, dh0, dc0)."""
+    """gates: (T, B, 4H) post-activation (i,f,g,o) saved by the
+    forward; cs (T, B, H) cell states (both in the forward's residual
+    dtype). Returns (dgates (T, B, 4H) in that dtype, dh0, dc0)."""
     T, B, H4 = gates.shape
     H = H4 // 4
     Hp = _round_up(H, 128)
@@ -295,7 +310,7 @@ def _bwd(w, s, gates, c_prev, cs, dys, dh_last, dc_last, quant,
             pl.BlockSpec((Bp, Hp), const, **_VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, 4 * Hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, Bp, 4 * Hp), gates.dtype),
             jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
         ],
@@ -306,7 +321,7 @@ def _bwd(w, s, gates, c_prev, cs, dys, dh_last, dc_last, quant,
         compiler_params=_PARAMS,
         interpret=_interp(interpret),
     )(dys, gates, c_prev, cs, w, sfull,
-      dh_last.astype(jnp.bfloat16), dc_last.astype(jnp.bfloat16))
+      dh_last.astype(gates.dtype), dc_last.astype(gates.dtype))
     if Hp != H:
         dgates = dgates.reshape(T, Bp, 4, Hp)[:, :B, :, :H]
         dgates = dgates.reshape(T, B, 4 * H)
@@ -325,9 +340,9 @@ def lstm_scan_pallas(w_hh, x_proj, h0, c0, quant=False):
     if quant:
         w, s = quantize_rows(w_hh)
     else:
-        w, s = w_hh.astype(jnp.bfloat16), None
+        w, s = w_hh.astype(x_proj.dtype), None
     ys, _, _, h, c = _fwd(w, s, x_proj, h0.astype(jnp.float32),
-                          c0.astype(jnp.float32), quant)
+                          c0.astype(jnp.float32), quant, residuals=False)
     return ys, h.astype(x_proj.dtype), c.astype(x_proj.dtype)
 
 
@@ -335,7 +350,7 @@ def _vjp_fwd(w_hh, x_proj, h0, c0, quant):
     if quant:
         w, s = quantize_rows(w_hh)
     else:
-        w, s = w_hh.astype(jnp.bfloat16), None
+        w, s = w_hh.astype(x_proj.dtype), None
     ys, acts, cs, h, c = _fwd(w, s, x_proj, h0.astype(jnp.float32),
                               c0.astype(jnp.float32), quant)
     # the forward streams out its own gate activations and cell states
@@ -351,15 +366,17 @@ def _vjp_bwd(quant, res, grads):
     T, B, H = ys.shape
 
     c_prev = jnp.concatenate(
-        [c0[None].astype(jnp.bfloat16), cs[:-1]], 0)
+        [c0[None].astype(cs.dtype), cs[:-1]], 0)
     dgates, dh0, dc0 = _bwd(
-        w, s, acts, c_prev, cs, dys.astype(jnp.bfloat16),
+        w, s, acts, c_prev, cs, dys.astype(acts.dtype),
         dh_last.astype(jnp.float32), dc_last.astype(jnp.float32), quant)
 
+    # dW in the residual dtype with fp32 accumulation (inputs carry no
+    # more precision than that; an fp32 matmul here is 3-4x slower)
     h_prev = jnp.concatenate([h0[None].astype(ys.dtype), ys[:-1]], 0)
-    dg2 = dgates.reshape(T * B, 4 * H).astype(jnp.float32)
-    hp2 = h_prev.reshape(T * B, H).astype(jnp.float32)
-    dw_hh = dg2.T @ hp2                                     # (4H, H)
+    dg2 = dgates.reshape(T * B, 4 * H)
+    hp2 = h_prev.reshape(T * B, H).astype(dg2.dtype)
+    dw_hh = jnp.dot(dg2.T, hp2, preferred_element_type=jnp.float32)
     return (dw_hh.astype(w_sentinel.dtype), dgates.astype(ys.dtype),
             dh0.astype(h0.dtype), dc0.astype(c0.dtype))
 

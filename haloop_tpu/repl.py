@@ -159,12 +159,12 @@ def main():
                 done = int(tok[0]) == Tok.eos
                 if not done:
                     emit(int(tok[0]))
-                i = 1
-                while i < args.steps and not done:
+                i = 0                       # report matches streaming mode
+                while i + 1 < args.steps and not done:
                     key, k = jax.random.split(key)
                     toks, tok, cache = gen_chunk(params, tok, cache, k)
                     for tid in np.asarray(toks).tolist():
-                        if tid == Tok.eos or i >= args.steps:
+                        if tid == Tok.eos or i + 1 >= args.steps:
                             done = True
                             break
                         emit(tid)

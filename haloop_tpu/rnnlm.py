@@ -341,6 +341,9 @@ def main():
     parser.add_argument('--reset-step', type=int)
     parser.add_argument('--save', type=Path, default=Path('rnnlm.pt'))
     parser.add_argument('--device', type=str, default='tpu')
+    parser.add_argument('--prng', choices=['rbg', 'threefry'],
+                        default='rbg',
+                        help="dropout/sampling PRNG (see hac --prng)")
     parser.add_argument('--lr', default=0.002, type=float)
     parser.add_argument('--wd', default=0.1, type=float)
     parser.add_argument('--dropout', default=0.0, type=float)
@@ -360,7 +363,7 @@ def main():
     parser.add_argument('--complete-file', type=Path, nargs='+')
     parser.add_argument('--num-workers', type=int, default=1)
     args = parser.parse_args()
-    jax.config.update('jax_default_prng_impl', 'rbg')  # fast dropout RNG (loop.py --prng rationale)
+    jax.config.update('jax_default_prng_impl', args.prng)
 
     self = System(args)
 

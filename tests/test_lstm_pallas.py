@@ -161,16 +161,25 @@ def test_q8_grads_track_oracle():
 
 def test_multilayer_dispatch(monkeypatch):
     from haloop_tpu.nn.lstm import multilayer_lstm, lstm_init
+    # q8 needs BOTH the opt-in and kernel eligibility (on CPU the
+    # latter comes from the explicit pin; without it q8 must fall back
+    # to the exact scan — the multi-device safety property)
     monkeypatch.setenv("HALOOP_RNN_Q8", "1")
+    monkeypatch.setenv("HALOOP_LSTM_KERNEL", "1")
     p = lstm_init(jax.random.PRNGKey(0), 32, 64, num_layers=2)
     x = jax.random.normal(jax.random.PRNGKey(1), (9, 2, 32))
     out, (h, c) = multilayer_lstm(p, x, num_layers=2)
+    monkeypatch.delenv("HALOOP_LSTM_KERNEL")
+    out_fallback, _ = multilayer_lstm(p, x, num_layers=2)
     monkeypatch.delenv("HALOOP_RNN_Q8")
     out2, _ = multilayer_lstm(p, x, num_layers=2)
     rel = float(jnp.mean(jnp.abs(out - out2)) /
                 (jnp.mean(jnp.abs(out2)) + 1e-9))
     assert out.shape == out2.shape
-    assert rel < 0.05, rel
+    assert 1e-9 < rel < 0.05, rel       # q8 ran: close but not identical
+    # ineligible (CPU, no pin): exact scan regardless of the q8 opt-in
+    np.testing.assert_array_equal(np.asarray(out_fallback),
+                                  np.asarray(out2))
 
 
 def test_q8_training_converges():
