@@ -20,6 +20,8 @@ compiles once; ``generate`` runs the whole token loop on device via
 """
 
 import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -255,6 +257,106 @@ def forward(p, cfg, input_ids, past=None):
     x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
     logits = linear(p["lm_head"], x[:, -1:, :])
     return logits, presents
+
+
+def forward_logits(p, cfg, input_ids, past):
+    """Like ``forward`` but returns logits at EVERY input position
+    (needed to verify a drafted token block in one call)."""
+    t0 = past[0]["length"]
+    x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
+    return linear(p["lm_head"], x), presents
+
+
+def _rewind(cache, new_len):
+    """Drop cache entries past ``new_len`` (rejected draft positions).
+    The stale K/V stay in the buffers but attention masks by length,
+    and the next block write at ``new_len`` overwrites them."""
+    return [dict(c, length=new_len) for c in cache]
+
+
+def speculative_verify(p, cfg, toks, cache):
+    """One draft-verify step for greedy speculative decoding.
+
+    toks: (1, K+1) int32 = [current_token, draft_1..draft_K]. Returns
+    (emitted (K+1,) int32, n_emitted scalar, cache) where the first
+    ``n`` emitted tokens are exactly what greedy single-token decoding
+    would produce: the accepted draft prefix plus the model's
+    correction token. The cache is rewound to cover only verified
+    positions, so the OUTPUT STREAM IS IDENTICAL to ``generate`` with
+    top_k=1 regardless of draft quality — drafts only buy speed.
+    """
+    K1 = toks.shape[1]
+    t0 = cache[0]["length"]
+    logits, cache = forward_logits(p, cfg, toks, cache)
+    preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (K+1,)
+    match = (toks[0, 1:] == preds[:-1]).astype(jnp.int32)     # (K,)
+    acc = jnp.sum(jnp.cumprod(match))                         # 0..K
+    idx = jnp.arange(K1)
+    emitted = jnp.where(idx < acc, toks[0, 1:].take(jnp.minimum(idx, K1 - 2)),
+                        jnp.where(idx == acc, preds[acc], -1))
+    return emitted, acc + 1, _rewind(cache, t0 + acc + 1)
+
+
+def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
+                         stop_token=50256):
+    """Greedy generation with prompt-lookup speculative decoding
+    (n-gram drafts from the already-seen context, verified in blocks of
+    ``draft_len`` — one device call per block instead of per token).
+    Output is bit-identical to ``generate(..., top_k=1)``; repetitive
+    continuations accept long draft runs and decode several tokens per
+    model call. Host-driven (the draft lookup is a python n-gram
+    match), so this is the hat/serving path, not a jit building block.
+    """
+    import numpy as np
+
+    B, T0 = input_ids.shape
+    assert B == 1, "speculative decoding is a single-stream path"
+    K = draft_len
+    cache = init_cache(cfg, 1, dtype=p["lm_head"]["weight"].dtype)
+    logits, cache = forward(p, cfg, input_ids, past=cache)
+    cur = int(jnp.argmax(logits[0, -1]))
+
+    # params must be a TRACED argument (closing over them would bake
+    # 124M constants into the program and recompile per call); the jit
+    # is cached on the (hashable, frozen) config
+    verify = _spec_verify_jit(cfg)
+
+    hist = list(np.asarray(input_ids[0])) + [cur]
+    out = [cur]
+    while len(out) < max_new_tokens and out[-1] != stop_token \
+            and cache[0]["length"] + K + 1 < cache[0]["k"].shape[-2]:
+        draft = _prompt_lookup_draft(hist, K)
+        toks = jnp.asarray([[hist[-1]] + draft], jnp.int32)
+        emitted, n, cache = verify(p, toks, cache)
+        for t in np.asarray(emitted)[:int(n)].tolist():
+            out.append(t)
+            hist.append(t)
+            if t == stop_token or len(out) >= max_new_tokens:
+                break
+    if out and out[-1] == stop_token:
+        out = out[:-1]
+    return out[:max_new_tokens]
+
+
+@functools.lru_cache(maxsize=8)
+def _spec_verify_jit(cfg):
+    return jax.jit(lambda p, toks, cache:
+                   speculative_verify(p, cfg, toks, cache))
+
+
+def _prompt_lookup_draft(hist, K, ngram=2):
+    """Draft K tokens by copying what followed the most recent earlier
+    occurrence of the current ``ngram``-token suffix; falls back to
+    repeating the last token (any wrong draft is merely rejected)."""
+    if len(hist) > ngram:
+        suffix = hist[-ngram:]
+        for j in range(len(hist) - ngram - 1, -1, -1):
+            if hist[j:j + ngram] == suffix:
+                cont = hist[j + ngram:j + ngram + K]
+                if cont:
+                    return (cont + [hist[-1]] * K)[:K]
+                break
+    return [hist[-1]] * K
 
 
 def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,

@@ -41,6 +41,11 @@ def main():
                              "streams like the reference; larger values "
                              "amortize the per-call latency with one "
                              "lax.scan per chunk (prints chunk-wise)")
+    parser.add_argument('--spec', type=int, default=0,
+                        help="greedy speculative decoding with K-token "
+                             "prompt-lookup drafts (exact greedy "
+                             "output, several tokens per model call on "
+                             "repetitive text; implies --top-k 1)")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')
@@ -141,17 +146,29 @@ def main():
             print(sp.decode(token_ids.tolist()))
             i = len(start)
         else:
-            cache = G.init_cache(cfg, 1, dtype=jnp.bfloat16
-                                 if args.dtype == 'bfloat16'
-                                 else jnp.float32)
-            logits, cache = prefill(params, x, cache)
-
             def emit(tid):
                 piece = sp.id_to_piece(tid)
                 if piece.startswith('▁'):
                     print(' ', end='')
                     piece = piece[1:]
                 print(piece, end='', flush=True)
+
+            if args.spec > 0:
+                toks = G.generate_speculative(
+                    params, cfg, x, args.steps, draft_len=args.spec,
+                    stop_token=Tok.eos)
+                i = max(len(toks) - 1, 0)
+                for tid in toks:
+                    emit(tid)
+                print()
+                t1 = time.time()
+                print(f' ({i+1} tokens in {t1-t0:.2f}s)', file=sys.stderr)
+                continue
+
+            cache = G.init_cache(cfg, 1, dtype=jnp.bfloat16
+                                 if args.dtype == 'bfloat16'
+                                 else jnp.float32)
+            logits, cache = prefill(params, x, cache)
 
             if args.chunk > 1:
                 key, k = jax.random.split(key)

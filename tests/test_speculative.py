@@ -1,0 +1,58 @@
+"""Prompt-lookup speculative decoding: output must be BIT-IDENTICAL to
+plain greedy generation — drafts (right or wrong) only change how many
+model calls it takes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from haloop_tpu.models import gpt as G
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = G.GPTConfig(block_size=128, vocab_size=96, n_layer=2, n_head=2,
+                      n_embd=32)
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def greedy_reference(params, cfg, ids, steps):
+    toks, alive = G.generate(params, cfg, ids, steps, top_k=1,
+                             stop_token=95)
+    toks, alive = np.asarray(toks)[0], np.asarray(alive)[0]
+    return toks[alive].tolist()
+
+
+@pytest.mark.parametrize("draft_len", [1, 4, 8])
+def test_speculative_equals_greedy(model, draft_len):
+    cfg, params = model
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        ids = jnp.asarray(rng.integers(1, 90, (1, 7)).astype(np.int32))
+        want = greedy_reference(params, cfg, ids, 24)
+        got = G.generate_speculative(params, cfg, ids, 24,
+                                     draft_len=draft_len, stop_token=95)
+        assert got == want, (seed, draft_len, got, want)
+
+
+def test_speculative_repetitive_prompt(model):
+    """A repetitive prompt exercises real n-gram draft hits (accepted
+    multi-token blocks) — the path where the cache rewind math must be
+    exact."""
+    cfg, params = model
+    pattern = [5, 9, 13, 5, 9, 13, 5, 9, 13, 5, 9]
+    ids = jnp.asarray([pattern], jnp.int32)
+    want = greedy_reference(params, cfg, ids, 30)
+    got = G.generate_speculative(params, cfg, ids, 30, draft_len=6,
+                                 stop_token=95)
+    assert got == want, (got, want)
+
+
+def test_prompt_lookup_draft():
+    hist = [1, 2, 3, 4, 9, 9, 2, 3]
+    # suffix (2, 3) last occurred at index 1 -> continuation [4, 9, 9, 2]
+    assert G._prompt_lookup_draft(hist, 4) == [4, 9, 9, 2]
+    # no match -> repeat last
+    assert G._prompt_lookup_draft([1, 2, 3], 3, ngram=2) == [3, 3, 3]
