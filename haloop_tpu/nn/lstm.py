@@ -50,9 +50,11 @@ def use_q8():
     return os.environ.get("HALOOP_RNN_Q8") == "1"
 
 
-# largest W_hh (bytes, bf16) the resident-weight kernel may claim; the
-# rest of VMEM goes to the streamed x_proj/dgates blocks
-_RESIDENT_LIMIT = 40 * 1024 * 1024
+# largest W_hh (bytes, in the layer's compute dtype) the resident-weight
+# kernel may claim; the rest of the raised scoped-VMEM budget goes to the
+# streamed x_proj/dgates blocks. 72 MB admits fp32 H=2048 (the hal RNN-LM:
+# measured fwd 1.2x, grad 2.2x over the fp32 scan)
+_RESIDENT_LIMIT = 72 * 1024 * 1024
 
 
 def _single_layer(p, layer, x, h0, c0):
