@@ -153,29 +153,34 @@ class RecognizerSpec:
 
     def decode(self, params, features, input_lengths, target_lengths,
                prompt=None, max_steps=None, key=None, train=False):
-        """Greedy decode. Returns (hyps, lengths, log_probs, entropies).
-        train=True keeps dropout active (test-time-dropout attempts)."""
+        """Greedy decode. Returns (hyps, lengths, log_probs, entropies,
+        alignments); alignments are the per-frame argmax labels for CTC
+        (printed as aliN TSV rows, ha/loop.py:409-410) and None for the
+        other recognizers (the reference's attention decoder returns
+        [None]*N, ha/transformer.py:198). train=True keeps dropout
+        active (test-time-dropout attempts)."""
         if self.kind == "ctc":
             hyps, lens, ali, scores, sum_ent = RE.temporal_classifier_decode(
                 params, features, input_lengths, key=key, train=train)
             return hyps, lens, jnp.sum(
                 jnp.where(jnp.arange(scores.shape[1])[None] <
-                          input_lengths[:, None], scores, 0.0), -1), sum_ent
+                          input_lengths[:, None], scores, 0.0), -1), \
+                sum_ent, ali
         if self.kind == "decoder":
             return TR.decoder_decode(params, self.tcfg, features,
                                      input_lengths, target_lengths,
                                      prompt=prompt, max_steps=max_steps,
-                                     key=key, train=train)
+                                     key=key, train=train) + (None,)
         if self.kind == "ctc-attention":
             return TR.decoder_decode(params["decoder"], self.tcfg, features,
                                      input_lengths, target_lengths,
                                      prompt=prompt, max_steps=max_steps,
-                                     key=key, train=train)
+                                     key=key, train=train) + (None,)
         if self.kind == "transducer":
             hyps, lens, sum_ent, scores = RE.transducer_greedy_decode(
                 params, features, input_lengths,
                 max_symbols=max_steps or features.shape[1])
-            return hyps, lens, scores, sum_ent
+            return hyps, lens, scores, sum_ent, None
         raise NotImplementedError(self.kind)
 
 

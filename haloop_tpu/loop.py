@@ -222,7 +222,10 @@ class System:
             from haloop_tpu.models.recognizer import frame_entropy_sum
             blens = jnp.maximum(lens[:, 0], 0)
             sum_ent = frame_entropy_sum(lp, feat_lens, blens)
-            return prefixes[:, 0], blens, scores[:, 0], sum_ent
+            # per-frame argmax alignments are decode-independent too: the
+            # aliN TSV rows (ha/loop.py:409-410) stay available with --beam
+            ali = jnp.argmax(lp, axis=-1)
+            return prefixes[:, 0], blens, scores[:, 0], sum_ent, ali
         if self.spec.recognizer.kind == "transducer" and self.args.beam > 1:
             from haloop_tpu.ops.beam_device import \
                 transducer_beam_search_batched
@@ -237,15 +240,15 @@ class System:
             # row's entropy_per_token is the mean per-frame entropy
             ent = ents[:, 0] * jnp.maximum(ulens[:, 0], 1) / \
                 jnp.maximum(feat_lens, 1)
-            return toks[:, 0], ulens[:, 0], scores[:, 0], ent
+            return toks[:, 0], ulens[:, 0], scores[:, 0], ent, None
         if self.spec.recognizer.kind in ("ctc", "transducer"):
             return self.spec.recognizer.decode(
                 params["recognizer"], feats, feat_lens, target_lengths,
                 key=key, train=train, max_steps=max_steps)
-        hyp, out_len, log_probs, sum_ent = self.spec.recognizer.decode(
+        hyp, out_len, log_probs, sum_ent, ali = self.spec.recognizer.decode(
             params["recognizer"], feats, feat_lens, target_lengths,
             prompt=prompt, max_steps=max_steps, key=key, train=train)
-        return hyp, out_len, log_probs, sum_ent
+        return hyp, out_len, log_probs, sum_ent, ali
 
     def _score_impl(self, params, feats, feat_lens, condtargets,
                     condtarget_lengths):
@@ -466,13 +469,14 @@ class System:
                         self.params, feats, feat_lens, condtarget_lengths,
                         prompt_tensor, self.next_key(), self.fusion_params,
                         max_steps=max_steps, train=dropout_on)
-                    hyps, out_lens, log_probs, sum_ents = out
+                    hyps, out_lens, log_probs, sum_ents, alis = out
                     hyps = np.asarray(hyps)
                     out_lens = np.asarray(out_lens)
                     log_probs = np.asarray(log_probs)
                     sum_ents = (np.asarray(sum_ents)
                                 if sum_ents is not None else
                                 np.zeros(len(hyps)))
+                    alis = np.asarray(alis) if alis is not None else None
 
                     valid_loss += float(loss)
 
@@ -481,7 +485,8 @@ class System:
                         k = int(idxs[n])
                         le, we, hyp = self.print_example(
                             k, host_condtargets[n], int(host_ct_lens[n]),
-                            hyps[n], int(out_lens[n]), None,
+                            hyps[n], int(out_lens[n]),
+                            alis[n] if alis is not None else None,
                             int(host_feat_lens[n]), float(log_probs[n]),
                             float(sum_ents[n]), epoch=epoch,
                             attempt=attempt, prompt=prompt)
@@ -546,6 +551,8 @@ class System:
             hyp = [int(t) for t in hyp_[:hyp_len]]
         else:
             hyp = [int(t) for t in hyp_[:max(hyp_len - 1, 0)]]
+        ali = ([int(t) for t in ali_[:feat_len]] if ali_ is not None
+               else [])
         ref = [int(t) for t in np.asarray(ref)[:ref_len]]
 
         hyp1, hyp_words = self.vocab.decode(hyp)
@@ -563,11 +570,16 @@ class System:
                             2)
         word_error = Counter(word_dist)
 
+        # per-frame alignment row (CTC decodes only; the reference prints
+        # it between the ref and stat rows, ha/loop.py:409-410)
+        ali_o, _ = self.vocab.decode(ali)
+
         if isinstance(ref1, list):
             star = '␣'
             hyp_a, ref_a = zip(*align(hyp1, ref1, star)) if (hyp1 or ref1) \
                 else ((), ())
             hyp_o, ref_o = list(hyp_a), list(ref_a)
+            ali_o = tuple(ali_o)
         elif isinstance(ref1, str):
             star = '␣'
             pairs = align(hyp1, ref1, star)
@@ -586,6 +598,9 @@ class System:
               self.vocab.format(hyp_o), sep="\t", flush=True)
         print(epoch, dataset_index, 'ref', self.vocab.format(ref_o),
               sep="\t", flush=True)
+        if len(ali_o):
+            print(epoch, dataset_index, f'ali{attempt}',
+                  self.vocab.format(ali_o), sep="\t", flush=True)
         print(epoch, dataset_index, f'stat{attempt}',
               ' '.join(f'{k}={stat[k]}' for k in stat), sep="\t", flush=True)
         return label_error, word_error, hyp_o

@@ -54,8 +54,17 @@ def test_hac_evaluate_decodes(capsys):
     out = capsys.readouterr().out
     assert '\thyp0\t' in out
     assert '\tref\t' in out
+    assert '\tali0\t' in out     # per-frame CTC alignments (ha/loop.py:409)
     assert '\tstat0\t' in out
     assert np.isfinite(loss)
+    # ali rows carry one decoded frame label per feature frame, printed
+    # between the ref and stat rows (ha/loop.py:409-410)
+    lines = out.splitlines()
+    for i, line in enumerate(lines):
+        if '\tali0\t' in line:
+            assert '\tref\t' in lines[i - 1]
+            assert '\tstat0\t' in lines[i + 1]
+            break
 
 
 def test_gpt_train_step_runs():

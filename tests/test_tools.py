@@ -81,6 +81,7 @@ def test_active_loop_log_parsing(tmp_path):
         "testing 12 attempts 1\n"
         "12\t3\thyp0\thello world\n"
         "12\t3\tref\thello word\n"
+        "12\t3\tali0\t··hh·ell··l·o·· wwo·rrl·d··\n"
         "12\t3\tstat0\tlog_prob=-1.5 log_prob_per_token=-0.5 "
         "entropy_per_token=0.1 prompt=None ins=0 del=0 sub=1 total=1 "
         "length=2 ler=0.5 wer=0.5\n")
