@@ -103,8 +103,30 @@ def new_gelu(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * jnp.power(x, 3.0))))
 
 
+_DROPOUT_DISABLED = False
+
+
+def no_dropout():
+    """Context manager forcing every dropout layer off, regardless of the
+    train flag. For deterministic parity checks (e.g. shard_map-DP vs
+    single-device to float tolerance) and dropout-free debugging; applies
+    at trace time, so enter it before the first call of a jitted step."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def ctx():
+        global _DROPOUT_DISABLED
+        prev = _DROPOUT_DISABLED
+        _DROPOUT_DISABLED = True
+        try:
+            yield
+        finally:
+            _DROPOUT_DISABLED = prev
+    return ctx()
+
+
 def dropout(key: Optional[jax.Array], x, rate, deterministic):
-    if deterministic or rate == 0.0 or key is None:
+    if deterministic or rate == 0.0 or key is None or _DROPOUT_DISABLED:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)

@@ -66,7 +66,12 @@ def _single_layer(p, layer, x, h0, c0):
     x_proj = x @ w_ih.T + bias          # (T, B, 4H): the MXU-heavy part
     w_hh = p[f"weight_hh_l{layer}"]
     import os
-    wbytes = w_hh.dtype.itemsize * w_hh.size
+    # budget against the dtype the kernel actually holds resident:
+    # int8 (1 byte) under HALOOP_RNN_Q8, else the layer's compute dtype
+    # (x.dtype) — NOT the fp32 master dtype, which would wrongly
+    # disqualify exactly the large hidden sizes q8 mode exists for
+    resident_itemsize = 1 if use_q8() else jnp.dtype(x.dtype).itemsize
+    wbytes = resident_itemsize * w_hh.size
     override = os.environ.get("HALOOP_LSTM_KERNEL")  # pin independently
     if override in ("0", "1"):
         eligible = override == "1"

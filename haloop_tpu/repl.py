@@ -109,17 +109,20 @@ def main():
         return jax.random.categorical(k, logits, axis=-1)
 
     @jax.jit
-    def gen_chunk(params, tok, cache, key):
+    def gen_chunk(params, tok, cache, gen_key, start):
         """args.chunk single-token steps in ONE dispatch (lax.scan):
-        the per-call host->device latency amortizes over the chunk."""
-        def body(carry, k):
+        the per-call host->device latency amortizes over the chunk.
+        Per-token keys are fold_in(gen_key, token_index) — the same
+        derivation as the streaming path, so a given --seed samples
+        identical text at any --chunk."""
+        def body(carry, n):
             tok, cache = carry
             logits, cache = G.forward(params, cfg, tok[:, None],
                                       past=cache)
-            nxt = sample(logits, k).astype(jnp.int32)
-            return (nxt, cache), nxt
-        keys = jax.random.split(key, args.chunk)
-        (tok, cache), toks = jax.lax.scan(body, (tok, cache), keys)
+            nxt = sample(logits, jax.random.fold_in(gen_key, n))
+            return (nxt.astype(jnp.int32), cache), nxt
+        (tok, cache), toks = jax.lax.scan(
+            body, (tok, cache), start + jnp.arange(args.chunk))
         return toks[:, 0], tok, cache          # (chunk,) for B=1
 
     while True:
@@ -170,16 +173,22 @@ def main():
                                  else jnp.float32)
             logits, cache = prefill(params, x, cache)
 
+            # one generation key per prompt; per-token keys are
+            # fold_in(gen_key, token_index) in BOTH paths, so --chunk
+            # only changes dispatch granularity, never the sampled text
+            key, gen_key = jax.random.split(key)
             if args.chunk > 1:
-                key, k = jax.random.split(key)
-                tok = sample(logits, k).astype(jnp.int32)
+                tok = sample(logits,
+                             jax.random.fold_in(gen_key, 0)).astype(jnp.int32)
                 done = int(tok[0]) == Tok.eos
                 if not done:
                     emit(int(tok[0]))
                 i = 0                       # report matches streaming mode
+                ntok = 1
                 while i + 1 < args.steps and not done:
-                    key, k = jax.random.split(key)
-                    toks, tok, cache = gen_chunk(params, tok, cache, k)
+                    toks, tok, cache = gen_chunk(params, tok, cache,
+                                                 gen_key, jnp.int32(ntok))
+                    ntok += args.chunk
                     for tid in np.asarray(toks).tolist():
                         if tid == Tok.eos or i + 1 >= args.steps:
                             done = True
@@ -188,8 +197,7 @@ def main():
                         i += 1
             else:
                 for i in range(args.steps):
-                    key, k = jax.random.split(key)
-                    tok = sample(logits, k)
+                    tok = sample(logits, jax.random.fold_in(gen_key, i))
                     tid = int(tok[0])
                     if tid == Tok.eos:
                         break

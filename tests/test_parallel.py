@@ -132,6 +132,51 @@ def test_hac_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)
 
 
+def test_hac_data_parallel_exact_parity_no_dropout():
+    """Dropout-free variant of the DP parity test: with every dropout
+    layer forced off, the shard_map step must match single-device to
+    float tolerance — per-shard dropout keys are the ONLY intended
+    divergence, so this catches real gradient-averaging or shard_map
+    regressions the loose-tolerance test above would mask (ADVICE r2)."""
+    need_devices(8)
+    from haloop_tpu.data import make_dataset
+    from haloop_tpu.dataloader import Collator
+    from haloop_tpu.init import create_model
+    from haloop_tpu.loop import System, make_parser
+    from haloop_tpu.nn.core import no_dropout
+    from haloop_tpu.parallel import data_mesh
+    from haloop_tpu.symbol_tape import make_vocab
+
+    args = make_parser().parse_args(
+        ['--arch', 'lstm-tiny:512', '--vocab', '512', '--dtype', 'float32'])
+    vocab = make_vocab('512')
+    spec = create_model(args.arch)
+    params0 = spec.init(jax.random.PRNGKey(0))
+
+    ds = make_dataset('head:sinusoids0')
+    _, inputs, ct, il, tl = Collator(vocab)([ds[i] for i in range(8)])
+
+    results = []
+    with no_dropout():
+        for mesh in (None, data_mesh()):
+            system = System(args, spec,
+                            jax.tree.map(jnp.copy, params0), vocab,
+                            mesh=mesh)
+            sharded = system.shard(inputs, ct, il, tl)
+            for step in range(3):
+                (system.params, system.opt_state, loss, gn, bad) = \
+                    system._train_step(system.params, system.opt_state,
+                                       *sharded, jax.random.PRNGKey(step),
+                                       jnp.int32(step))
+            results.append((float(loss),
+                            jax.tree.map(np.asarray, system.params)))
+
+    (loss_a, params_a), (loss_b, params_b) = results
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """orbax sharded save/restore of TP-sharded GPT params + opt state
     over the 8-device mesh: values and shardings both round-trip
