@@ -7,10 +7,10 @@ grammar matches the reference exactly:
     labels:file  randpairs:  head:  wdrop.4:/wdrop.1:  mask:  speed:
     fbank:  mfcc:  sinusoids0..5  sinusoids-eval  bare-path  librispeech-url
 
-Audio IO uses the stdlib wave module (PCM wav); other formats need a
-decoder this zero-egress image doesn't ship — LabelFile raises a clear
-error for them. LibriSpeech auto-download is unsupported here (no
-network); point `labels:` at local files instead.
+Audio IO: PCM .wav via the stdlib wave module, .flac via the native C
+decoder (haloop_tpu/native/flac.c) — LibriSpeech ships as FLAC; other
+formats raise a clear error. LibriSpeech auto-download is unsupported
+here (no network); point `labels:` at local files instead.
 """
 
 import bisect
@@ -168,18 +168,36 @@ class Subset:
 
 
 class Mask(ConcatDataset):
-    """SpecAugment-style freq+time masks over spectrograms."""
+    """SpecAugment-style freq+time masks over spectrograms.
+
+    Draws are deterministic in (seed, epoch, index) — unlike the
+    reference's worker-inherited torch RNG (ha/data.py:103-123), an
+    augmented run is exactly reproducible; the DataLoader bumps
+    ``epoch`` each pass so masks still vary across epochs."""
+
+    def __init__(self, datasets, seed=0):
+        super().__init__(datasets)
+        self.seed = seed
+        self.epoch = 0
 
     def __getitem__(self, index):
         index, frames, text = super().__getitem__(index)
-        rng = np.random.default_rng()
+        rng = np.random.default_rng((self.seed, self.epoch, index))
         return index, features.spec_augment(np.asarray(frames), rng), text
 
 
 class Speed(ConcatDataset):
+    """Speed perturbation in [.95, 1.05]; deterministic in
+    (seed, epoch, index) like Mask."""
+
+    def __init__(self, datasets, seed=0):
+        super().__init__(datasets)
+        self.seed = seed
+        self.epoch = 0
+
     def __getitem__(self, index):
         index, wav, text = super().__getitem__(index)
-        rng = np.random.default_rng()
+        rng = np.random.default_rng((self.seed, self.epoch, index))
         return index, features.speed_perturb(wav, rng), text
 
 

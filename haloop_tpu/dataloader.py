@@ -122,8 +122,25 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _set_dataset_epoch(self, dataset, epoch, seen=None):
+        """Propagate the epoch counter into the dataset tree so
+        augmentations seeded by (seed, epoch, index) — data.Mask/Speed —
+        redraw each epoch while staying reproducible (duck-typed: any
+        node with an ``epoch`` attribute gets it set)."""
+        seen = set() if seen is None else seen
+        if id(dataset) in seen:
+            return
+        seen.add(id(dataset))
+        if hasattr(dataset, 'epoch'):
+            dataset.epoch = epoch
+        for child in getattr(dataset, 'datasets', []):
+            self._set_dataset_epoch(child, epoch, seen)
+        if hasattr(dataset, 'dataset'):
+            self._set_dataset_epoch(dataset.dataset, epoch, seen)
+
     def __iter__(self):
         self.epoch += 1
+        self._set_dataset_epoch(self.dataset, self.epoch)
         if self.num_workers == 1:
             yield from self._iter_single()
         else:

@@ -188,4 +188,6 @@ def test_device_fbank_matches_host(tmp_path):
                                        train=False)
     loss_w, _, _ = sys_w._eval_forward(sys_w.params, *batch_w[1:], key,
                                        train=False)
-    np.testing.assert_allclose(float(loss_w), float(loss_h), rtol=2e-2)
+    # measured CPU gap ~1e-6 rel; 1e-4 leaves float headroom without
+    # masking real frontend divergence (was 2e-2, VERDICT r2 Missing #3)
+    np.testing.assert_allclose(float(loss_w), float(loss_h), rtol=1e-4)
