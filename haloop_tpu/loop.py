@@ -81,13 +81,18 @@ class System:
             self.fusion_params = jax.tree.map(jnp.asarray, ckpt['model'])
             self.fusion_layers = ckpt['args']['num_layers']
             self.fusion_dim = ckpt['args']['rnn_size']
+        # one pattern for EVERY device-facing path on a mesh: shard_map
+        # with force_local so the Pallas kernels (no GSPMD partitioning
+        # rules) stay active per-shard, per-shard dropout streams via
+        # fold_in(axis_index), pmean as the DDP allreduce. Ragged
+        # batches that don't divide the mesh fall back to plain GSPMD
+        # jit (replicated-correct, kernel-less).
+        self._sharded_cache = {}
         if self.mesh is not None:
-            # shard_map DP: each shard traces with LOCAL shapes, so the
-            # Pallas kernels (no GSPMD partitioning rules) stay active
-            # on multi-chip; pmean inside the body is the DDP allreduce
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
             from haloop_tpu.ops import dispatch
+            B, R = P('data'), P()
 
             def dp_step(params, opt_state, inputs, condtargets,
                         input_lengths, condtarget_lengths, key, step):
@@ -99,25 +104,114 @@ class System:
 
             self._train_step = jax.jit(
                 shard_map(dp_step, mesh=self.mesh,
-                          in_specs=(P(), P(), P('data'), P('data'),
-                                    P('data'), P('data'), P(), P()),
-                          out_specs=(P(), P(), P(), P(), P()),
+                          in_specs=(R, R, B, B, B, B, R, R),
+                          out_specs=(R, R, R, R, R),
                           check_vma=False),
                 donate_argnums=(0, 1))
-            # ragged tail batches that don't divide the mesh fall back
-            # to replicated compute (donation off: params must survive
-            # for the sharded step's buffers)
+            # ragged fallback (donation off: params must survive for
+            # the sharded step's buffers)
             self._train_step_ragged = jax.jit(self._train_step_impl)
+
+            def dp_micro(params, inputs, condtargets, input_lengths,
+                         condtarget_lengths, key):
+                key = jax.random.fold_in(key,
+                                         jax.lax.axis_index('data'))
+                with dispatch.force_local():
+                    loss, grads = jax.value_and_grad(self._micro_loss)(
+                        params, inputs, condtargets, input_lengths,
+                        condtarget_lengths, key)
+                return (jax.lax.pmean(loss, 'data'),
+                        jax.lax.pmean(grads, 'data'))
+
+            self._micro_grads_fn = jax.jit(
+                shard_map(dp_micro, mesh=self.mesh,
+                          in_specs=(R, B, B, B, B, R),
+                          out_specs=(R, R), check_vma=False))
         else:
             self._train_step = jax.jit(self._train_step_impl,
                                        donate_argnums=(0, 1))
             self._train_step_ragged = self._train_step
+        self._micro_grads_ragged = jax.jit(
+            jax.value_and_grad(self._micro_loss))
         self._eval_forward = jax.jit(
             self._forward_impl,
             static_argnames=("train", "measure_entropy", "return_stats"))
         self._decode = jax.jit(self._decode_impl,
                                static_argnames=("max_steps", "train"))
         self._score_step = jax.jit(self._score_impl)
+
+    def _divides_mesh(self, n):
+        return self.mesh is not None and n % self.mesh.devices.size == 0
+
+    def _sharded_eval_forward(self, train):
+        """shard_map twin of _eval_forward (default stats-less path)."""
+        ck = ('eval', train)
+        if ck not in self._sharded_cache:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            from haloop_tpu.ops import dispatch
+            B, R = P('data'), P()
+
+            def body(params, inputs, condtargets, input_lengths,
+                     condtarget_lengths, key):
+                if train:    # test-time-dropout attempts: per-shard keys
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index('data'))
+                with dispatch.force_local():
+                    loss, feats, feat_lens = self._forward_impl(
+                        params, inputs, condtargets, input_lengths,
+                        condtarget_lengths, key, train=train)
+                return jax.lax.pmean(loss, 'data'), feats, feat_lens
+
+            self._sharded_cache[ck] = jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=(R, B, B, B, B, R),
+                out_specs=(R, B, B), check_vma=False))
+        return self._sharded_cache[ck]
+
+    def _sharded_decode(self, max_steps, train):
+        """shard_map twin of _decode (greedy and beam, all kinds)."""
+        ck = ('decode', max_steps, train)
+        if ck not in self._sharded_cache:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            from haloop_tpu.ops import dispatch
+            B, R = P('data'), P()
+
+            def body(params, feats, feat_lens, target_lengths, prompt,
+                     key, fusion_params):
+                if train:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index('data'))
+                with dispatch.force_local():
+                    return self._decode_impl(
+                        params, feats, feat_lens, target_lengths, prompt,
+                        key, fusion_params, max_steps=max_steps,
+                        train=train)
+
+            self._sharded_cache[ck] = jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=(R, B, B, B, B, R, R),
+                out_specs=(B, B, B, B, B), check_vma=False))
+        return self._sharded_cache[ck]
+
+    def _run_eval_forward(self, inputs, condtargets, input_lengths,
+                          condtarget_lengths, key, *, train):
+        if self._divides_mesh(len(input_lengths)):
+            return self._sharded_eval_forward(train)(
+                self.params, inputs, condtargets, input_lengths,
+                condtarget_lengths, key)
+        return self._eval_forward(self.params, inputs, condtargets,
+                                  input_lengths, condtarget_lengths, key,
+                                  train=train)
+
+    def _run_decode(self, feats, feat_lens, target_lengths, prompt, key,
+                    *, max_steps, train):
+        if self._divides_mesh(int(feats.shape[0])):
+            return self._sharded_decode(max_steps, train)(
+                self.params, feats, feat_lens, target_lengths, prompt,
+                key, self.fusion_params)
+        return self._decode(self.params, feats, feat_lens, target_lengths,
+                            prompt, key, self.fusion_params,
+                            max_steps=max_steps, train=train)
 
     # ------------------------------------------------------------ forward
 
@@ -333,10 +427,14 @@ class System:
                     accum += 1
                     if accum % args.accumulate:
                         continue
-                    (self.params, self.opt_state,
-                     grad_norm) = self._apply_grads(
+                    (self.params, self.opt_state, grad_norm,
+                     bad) = self._apply_grads(
                         self.params, self.opt_state, acc_grads)
                     acc_grads = None
+                    if bad:
+                        log(f'[{epoch}, {global_step:5d}], grad_norm is '
+                            f'not finite, skipping update', flush=True)
+                        continue
             except Exception as e:
                 # per-batch OOM tolerance (reference catches RuntimeError
                 # under --allow-oom, ha/loop.py:157-165): XLA surfaces
@@ -380,17 +478,25 @@ class System:
             jax.profiler.stop_trace()
         return global_step
 
+    def _micro_loss(self, params, inputs, condtargets, input_lengths,
+                    condtarget_lengths, key):
+        loss, _, _ = self._forward_impl(
+            params, inputs, condtargets, input_lengths,
+            condtarget_lengths, key, train=True, drop_labels=True)
+        return loss / self.args.accumulate
+
     def _micro_grads(self, inputs, condtargets, input_lengths,
                      condtarget_lengths, key):
-        if not hasattr(self, "_grad_fn"):
-            def f(params, inputs, condtargets, il, tl, key):
-                loss, _, _ = self._forward_impl(
-                    params, inputs, condtargets, il, tl, key, train=True,
-                    drop_labels=True)
-                return loss / self.args.accumulate
-            self._grad_fn = jax.jit(jax.value_and_grad(f))
-        return self._grad_fn(self.params, inputs, condtargets,
-                             input_lengths, condtarget_lengths, key)
+        """One micro-batch of gradients: shard_map over the data mesh
+        when the batch divides it (same kernel/dropout semantics as the
+        fused step), plain jit otherwise."""
+        if self._divides_mesh(len(input_lengths)):
+            return self._micro_grads_fn(self.params, inputs, condtargets,
+                                        input_lengths, condtarget_lengths,
+                                        key)
+        return self._micro_grads_ragged(self.params, inputs, condtargets,
+                                        input_lengths, condtarget_lengths,
+                                        key)
 
     def _apply_grads(self, params, opt_state, grads):
         if not hasattr(self, "_apply_fn"):
@@ -401,8 +507,19 @@ class System:
                 grads = {"encoder": jax.tree.map(lambda g: g * scale,
                                                  grads["encoder"]),
                          "recognizer": grads["recognizer"]}
-                updates, new_opt = self.tx.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), new_opt, enc_norm
+                # skip the whole accumulated update on non-finite grads
+                # (the reference gates on grad_norm too, ha/loop.py:185-189
+                # — a finite loss does not imply finite gradients)
+                bad = ~jnp.isfinite(enc_norm)
+
+                def apply(_):
+                    updates, new_opt = self.tx.update(grads, opt_state,
+                                                      params)
+                    return optax.apply_updates(params, updates), new_opt
+
+                new_params, new_opt = jax.lax.cond(
+                    bad, lambda _: (params, opt_state), apply, None)
+                return new_params, new_opt, enc_norm, bad
             self._apply_fn = jax.jit(f, donate_argnums=(0, 1))
         return self._apply_fn(params, opt_state, grads)
 
@@ -426,11 +543,18 @@ class System:
             inputs, condtargets, input_lengths, condtarget_lengths = \
                 self.shard(inputs, condtargets, input_lengths,
                            condtarget_lengths)
-            out = self._eval_forward(
-                self.params, inputs, condtargets, input_lengths,
-                condtarget_lengths, self.next_key(), train=dropout_on,
-                measure_entropy=measure_entropy,
-                return_stats=measure_entropy)
+            if measure_entropy:
+                out = self._eval_forward(
+                    self.params, inputs, condtargets, input_lengths,
+                    condtarget_lengths, self.next_key(), train=dropout_on,
+                    measure_entropy=True, return_stats=True)
+            else:
+                # kernel-active shard_map path on a mesh (GSPMD-jit
+                # fallback for ragged batches); the debug entropy/stats
+                # path above stays on plain jit
+                out = self._run_eval_forward(
+                    inputs, condtargets, input_lengths,
+                    condtarget_lengths, self.next_key(), train=dropout_on)
             if measure_entropy:
                 loss, feats, feat_lens, (enc_stats, rec_stats) = out
                 for name, stats in (('encoder', enc_stats),
@@ -465,9 +589,9 @@ class System:
                     prompt_tensor = np.full((len(input_lengths), 1), pid,
                                             np.int32)
                 for attempt in range(attempts):
-                    out = self._decode(
-                        self.params, feats, feat_lens, condtarget_lengths,
-                        prompt_tensor, self.next_key(), self.fusion_params,
+                    out = self._run_decode(
+                        feats, feat_lens, condtarget_lengths,
+                        prompt_tensor, self.next_key(),
                         max_steps=max_steps, train=dropout_on)
                     hyps, out_lens, log_probs, sum_ents, alis = out
                     hyps = np.asarray(hyps)

@@ -220,3 +220,113 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert again["iter_num"] == 7
     leaf = jax.tree.leaves(again["model"])[0]
     assert isinstance(leaf, np.ndarray)
+
+
+def _hac_system(mesh, extra_args=(), batch=8):
+    from haloop_tpu.data import make_dataset
+    from haloop_tpu.dataloader import Collator
+    from haloop_tpu.init import create_model
+    from haloop_tpu.loop import System, make_parser
+    from haloop_tpu.symbol_tape import make_vocab
+
+    args = make_parser().parse_args(
+        ['--arch', 'lstm-tiny:512', '--vocab', '512', '--dtype', 'float32']
+        + list(extra_args))
+    vocab = make_vocab('512')
+    spec = create_model(args.arch)
+    params = spec.init(jax.random.PRNGKey(0))
+    system = System(args, spec, jax.tree.map(jnp.copy, params), vocab,
+                    mesh=mesh)
+    ds = make_dataset('head:sinusoids0')
+    batch = Collator(vocab)([ds[i] for i in range(batch)])
+    return system, batch
+
+
+def test_hac_accumulate_matches_single_device():
+    """--accumulate>1 now runs its micro-grads through the same
+    shard_map-with-force_local pattern as the fused step; dropout-free,
+    the accumulated update must match single-device to float tolerance
+    (VERDICT r2 item 2)."""
+    need_devices(8)
+    from haloop_tpu.nn.core import no_dropout
+    from haloop_tpu.parallel import data_mesh
+
+    results = []
+    with no_dropout():
+        for mesh in (None, data_mesh()):
+            system, (_, inputs, ct, il, tl) = _hac_system(
+                mesh, ['--accumulate', '2'])
+            sharded = system.shard(inputs, ct, il, tl)
+            acc = None
+            for micro in range(2):
+                loss, grads = system._micro_grads(
+                    *sharded, jax.random.PRNGKey(micro))
+                acc = grads if acc is None else jax.tree.map(
+                    jnp.add, acc, grads)
+            (system.params, system.opt_state, gn, bad) = \
+                system._apply_grads(system.params, system.opt_state, acc)
+            assert not bool(bad)
+            results.append((float(loss), float(gn),
+                            jax.tree.map(np.asarray, system.params)))
+
+    (loss_a, gn_a, params_a), (loss_b, gn_b, params_b) = results
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    np.testing.assert_allclose(gn_a, gn_b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_hac_apply_grads_nan_gate():
+    """A finite loss with non-finite accumulated grads must leave params
+    untouched (the reference skips on grad_norm, ha/loop.py:185-189;
+    r2 applied updates unconditionally on the accumulate path)."""
+    system, _ = _hac_system(None)
+    before = jax.tree.map(np.asarray, system.params)
+    poisoned = jax.tree.map(lambda x: jnp.full_like(x, jnp.inf),
+                            system.params)
+    (system.params, system.opt_state, gn, bad) = system._apply_grads(
+        system.params, system.opt_state, poisoned)
+    assert bool(bad) and not np.isfinite(float(gn))
+    for a, b in zip(jax.tree.leaves(before),
+                    jax.tree.leaves(system.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hac_ragged_tail_on_mesh():
+    """A batch that doesn't divide the mesh must fall back to the
+    replicated step/decode and still train+evaluate (VERDICT r2 item 2:
+    the ragged fallback was untested)."""
+    need_devices(8)
+    from haloop_tpu.parallel import data_mesh
+
+    system, (_, inputs, ct, il, tl) = _hac_system(data_mesh(), batch=6)
+    sharded = system.shard(inputs, ct, il, tl)
+    assert sharded[0] is inputs            # 6 % 8 != 0: no-op shard
+    (system.params, system.opt_state, loss, gn, bad) = \
+        system._train_step_ragged(system.params, system.opt_state,
+                                  *sharded, jax.random.PRNGKey(0),
+                                  jnp.int32(0))
+    assert np.isfinite(float(loss))
+    out = system._run_eval_forward(*sharded, jax.random.PRNGKey(1),
+                                   train=False)
+    assert np.isfinite(float(out[0]))
+
+
+def test_hac_beam_decode_on_mesh(capsys):
+    """CTC prefix beam search under the data mesh: the sharded decode
+    path must produce the full TSV contract (hyp/ref/ali/stat rows)."""
+    need_devices(8)
+    from haloop_tpu.dataloader import DataLoader, Collator
+    from haloop_tpu.data import make_dataset
+    from haloop_tpu.parallel import data_mesh
+    from haloop_tpu.symbol_tape import make_vocab
+
+    system, _ = _hac_system(data_mesh(), ['--beam', '4'])
+    vocab = make_vocab('512')
+    loader = DataLoader(make_dataset('head:sinusoids0'), Collator(vocab),
+                        batch_size=8)
+    loss = system.evaluate(0, loader, tag='valid')
+    out = capsys.readouterr().out
+    assert np.isfinite(loss)
+    for tag in ('\thyp0\t', '\tref\t', '\tali0\t', '\tstat0\t'):
+        assert tag in out, tag
