@@ -89,12 +89,15 @@ def _block_init(key, cfg):
     return p
 
 
-def _embed(p, cfg, input_ids, t0, key=None, train=False):
+def _embed(p, cfg, input_ids, t0, key=None, train=False, positions=None):
     tok = embedding(p["lm_head"], input_ids)   # tied wte
     if cfg.stable_embedding:
         tok = layer_norm(p["transformer"]["wte_norm"], tok)
     if cfg.rotary_emb_dim:
         x = tok
+    elif positions is not None:
+        # packed rows: per-token positions restart at segment starts
+        x = tok + embedding(p["transformer"]["wpe"], positions)
     else:
         T = input_ids.shape[-1]
         pos = t0 + jnp.arange(T)
@@ -103,9 +106,11 @@ def _embed(p, cfg, input_ids, t0, key=None, train=False):
 
 
 def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
-          train=False):
+          train=False, positions=None, segment_ids=None):
     """Fused qkv self-attention. past: optional dict with fixed-size
-    cache {"k","v" (B, nh, block, hs), "length" scalar}."""
+    cache {"k","v" (B, nh, block, hs), "length" scalar}.
+    segment_ids (B, T): packed rows — tokens attend only within their
+    own segment (block-diagonal x causal), 0 marks padding."""
     B, T, C = x.shape
     nh, hs = cfg.n_head, cfg.n_embd // cfg.n_head
     if "lora_A" in p["c_attn"]:
@@ -119,12 +124,16 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
     v = v.reshape(B, T, nh, hs).swapaxes(1, 2)
 
     if cfg.rotary_emb_dim:
-        q = rotate_interleaved(q, t0=t0)
-        k = rotate_interleaved(k, t0=t0)
+        q = rotate_interleaved(q, t0=t0, positions=positions)
+        k = rotate_interleaved(k, t0=t0, positions=positions)
 
     if past is None:
         from haloop_tpu.ops.attention import mha
-        y, ent = mha(q, k, v, causal=cfg.causal,
+        seg_mask = None
+        if segment_ids is not None:
+            seg_mask = (segment_ids[:, None, :, None] !=
+                        segment_ids[:, None, None, :])
+        y, ent = mha(q, k, v, mask=seg_mask, causal=cfg.causal,
                      measure_entropy=measure_entropy)
         present = (k, v)
     else:
@@ -153,13 +162,14 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
 
 
 def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
-                 key=None, train=False):
+                 key=None, train=False, positions=None, segment_ids=None):
     k1 = k2 = None
     if key is not None:
         k1, k2 = jax.random.split(key)
     a, ent, present = _attn(p["attn"], cfg, layer_norm(p["ln_1"], x),
                             past=past, t0=t0, measure_entropy=measure_entropy,
-                            key=k1, train=train)
+                            key=k1, train=train, positions=positions,
+                            segment_ids=segment_ids)
     x = x + a
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x))
     h = linear(p["mlp"]["c_proj"], new_gelu(h))
@@ -168,7 +178,8 @@ def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
 
 
 def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
-           measure_entropy=False, activation_spec=None):
+           measure_entropy=False, activation_spec=None, positions=None,
+           segment_ids=None):
     """activation_spec: optional jax.sharding.PartitionSpec constraining
     hidden activations between blocks — e.g. P('data', 'model', None)
     shards the SEQUENCE axis over the model-parallel group in the
@@ -177,7 +188,8 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
     ke = None
     if key is not None:
         ke, key = jax.random.split(key)
-    x = _embed(p, cfg, input_ids, t0, key=ke, train=train)
+    x = _embed(p, cfg, input_ids, t0, key=ke, train=train,
+               positions=positions)
     presents = []
     entropies = []
     for i, block in enumerate(p["transformer"]["h"]):
@@ -189,7 +201,9 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
         past = past_list[i] if past_list is not None else None
         x, ent, present = _block_apply(block, cfg, x, past=past, t0=t0,
                                        measure_entropy=measure_entropy,
-                                       key=kb, train=train)
+                                       key=kb, train=train,
+                                       positions=positions,
+                                       segment_ids=segment_ids)
         presents.append(present)
         entropies.append(ent)
     x = layer_norm(p["transformer"]["ln_f"], x)
@@ -197,11 +211,17 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
 
 
 def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
-                train=False, activation_spec=None):
+                train=False, activation_spec=None, positions=None,
+                segment_ids=None):
     """Teacher-forced loss over all positions; CE ignore_index=0
-    (reference ha/attention.py:205-232)."""
+    (reference ha/attention.py:205-232).
+
+    positions/segment_ids: packed-row scoring (hap --pack) — several
+    sentences share a row, attention is block-diagonal x causal and
+    learned/rotary positions restart at each segment start."""
     x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
-                     activation_spec=activation_spec)
+                     activation_spec=activation_spec, positions=positions,
+                     segment_ids=segment_ids)
     from haloop_tpu.ops.dispatch import use_pallas
     B, T = target_ids.shape
     if (use_pallas() and cfg.vocab_size >= 4096

@@ -11,15 +11,19 @@ import jax.numpy as jnp
 def rotate_interleaved(x, t0=0, base=10000.0, positions=None):
     """x: (..., T, C) with C even. Rotates each adjacent (even, odd) pair.
 
-    ``positions``: optional (T,) absolute positions; defaults to t0..t0+T-1.
+    ``positions``: optional (T,) absolute positions — or (B, T) per-row
+    positions for packed sequences (x then (B, heads, T, C)); defaults
+    to t0..t0+T-1.
     """
     T, C = x.shape[-2], x.shape[-1]
     if positions is None:
         positions = t0 + jnp.arange(T, dtype=jnp.float32)
-    t = positions.astype(jnp.float32)[:, None]                 # (T, 1)
+    t = positions.astype(jnp.float32)[..., :, None]            # (..., T, 1)
     exp = jnp.arange(0, C // 2, dtype=jnp.float32)
     exp = -2.0 * jnp.repeat(exp, 2) / C                        # (C,)
-    angle = (base ** exp) * t                                  # (T, C)
+    angle = (base ** exp) * t                                  # (..., T, C)
+    if angle.ndim == 3 and x.ndim == 4:
+        angle = angle[:, None]                                 # head axis
     sin, cos = jnp.sin(angle), jnp.cos(angle)
 
     odd, even = x[..., 0::2], x[..., 1::2]

@@ -57,6 +57,57 @@ def pack_by_tokens(token_lists, budget, block_size):
         yield batch
 
 
+def pack_segments(token_lists, width, rows, bos):
+    """Sequence packing (hap --pack): fill ``rows`` rows of exactly
+    ``width`` token slots with consecutive sentences laid end-to-end.
+    Every slot is a real (or tail-pad) token — padding cost ~0 at ANY
+    sentence-length distribution, unlike row-per-sentence batching where
+    short sentences pay the bucket width.
+
+    Yields (input_ids, target_ids, positions, segment_ids, metas) with
+    metas = [(row, start, n, orig_tokens), ...] in input order. Per
+    segment: input [bos, s_0..s_{n-2}], target [s_0..s_{n-1}],
+    positions 0..n-1 (absolute positions restart per sentence — same
+    numbers each sentence saw unpacked, so NLLs are identical)."""
+    inp = np.zeros((rows, width), np.int32)
+    tgt = np.zeros((rows, width), np.int32)
+    pos = np.zeros((rows, width), np.int32)
+    seg = np.zeros((rows, width), np.int32)
+    metas = []
+    r, fill, nseg = 0, 0, 0
+
+    def flush():
+        nonlocal r, fill, nseg, inp, tgt, pos, seg, metas
+        out = (inp, tgt, pos, seg, metas)
+        inp = np.zeros((rows, width), np.int32)
+        tgt = np.zeros((rows, width), np.int32)
+        pos = np.zeros((rows, width), np.int32)
+        seg = np.zeros((rows, width), np.int32)
+        metas = []
+        r, fill, nseg = 0, 0, 0
+        return out
+
+    for toks in token_lists:
+        t = toks[:width]
+        n = len(t)
+        if n == 0:
+            t, n = [bos], 1       # empty line: still emit a row of output
+        if fill + n > width:
+            r, fill = r + 1, 0
+            if r == rows:
+                yield flush()
+        nseg += 1
+        sl = slice(fill, fill + n)
+        inp[r, sl] = [bos] + list(t[:-1])
+        tgt[r, sl] = t
+        pos[r, sl] = np.arange(n)
+        seg[r, sl] = nseg
+        metas.append((r, fill, n, toks))
+        fill += n
+    if metas:
+        yield flush()
+
+
 class Tok:
     eos = 50256
 
@@ -100,6 +151,14 @@ def main():
                              "many tokens (keeps the MXU fed when "
                              "sentences are short; 0 = fixed "
                              "--batch-size rows like the reference)")
+    parser.add_argument('--pack', default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="sequence packing: lay sentences end-to-end "
+                             "in full-width rows with block-diagonal "
+                             "attention and per-segment positions — "
+                             "padding cost ~0 at any length "
+                             "distribution; --no-pack falls back to "
+                             "row-per-sentence batching")
     parser.add_argument('ckpt_path')
     args = parser.parse_args()
 
@@ -120,6 +179,12 @@ def main():
         if args.verbose:
             return nll                           # (B, W) per-token
         return jnp.sum(nll, axis=-1)             # (B,) device-side reduce
+
+    @jax.jit
+    def score_packed(params, input_ids, target_ids, positions, segment_ids):
+        return G.forward_all(params, cfg, input_ids, target_ids,
+                             reduction='none', positions=positions,
+                             segment_ids=segment_ids)   # (rows, W)
 
     def emit(result, completion_tokens):
         nll = np.asarray(result)
@@ -157,6 +222,45 @@ def main():
     # device compute (the reference leans on DataLoader workers for
     # this, ha/loop.py:502-509; here jax's async dispatch suffices)
     from collections import deque
+
+    if args.pack:
+        W = cfg.block_size
+        rows = (max(1, args.tokens_per_batch // W)
+                if args.tokens_per_batch > 0 else args.batch_size)
+        bos = Tok.eos if cfg.vocab_size > Tok.eos else 0
+
+        def emit_packed(result, metas):
+            nll = np.asarray(result)
+            for r, start, n, toks in metas:
+                seg_nll = nll[r, start:start + n]
+                if args.verbose:
+                    from rich import print as print_
+                    print_(f'{seg_nll.sum() / n:0.3f}', n,
+                           ' '.join(f'{id_to_piece(t)} [dim]{l:.02f}[/dim]'
+                                    for t, l in zip(toks,
+                                                    seg_nll.tolist())),
+                           sep='\t', flush=True)
+                else:
+                    print(f'{float(seg_nll.sum()) / n:0.3f}', n,
+                          len(toks), sep='\t')
+
+        def all_tokens(stream):
+            for lines in batched(stream, 1024):
+                yield from encode(lines)
+
+        pending = deque()
+        for inp, tgt, pos, seg, metas in pack_segments(
+                all_tokens(sys.stdin), W, rows, bos):
+            pending.append((score_packed(
+                params, jnp.asarray(inp), jnp.asarray(tgt),
+                jnp.asarray(pos), jnp.asarray(seg)), metas))
+            while len(pending) > 2:
+                emit_packed(*pending.popleft())
+        while pending:
+            emit_packed(*pending.popleft())
+        sys.stdout.flush()
+        return
+
     pending = deque()
 
     for i, completion_tokens in enumerate(token_batches(sys.stdin)):

@@ -36,10 +36,10 @@ LINES = ("hello world\n"
 
 def test_hap_packing_matches_fixed_batching(nano_ckpt):
     packed = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
-                  nano_ckpt], input=LINES)
+                  "--no-pack", nano_ckpt], input=LINES)
     fixed = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
-                 "--tokens-per-batch", "0", "--batch-size", "2",
-                 nano_ckpt], input=LINES)
+                 "--no-pack", "--tokens-per-batch", "0", "--batch-size",
+                 "2", nano_ckpt], input=LINES)
     assert packed.returncode == 0, packed.stderr
     assert fixed.returncode == 0, fixed.stderr
     assert packed.stdout == fixed.stdout
@@ -49,3 +49,20 @@ def test_hap_packing_matches_fixed_batching(nano_ckpt):
     assert all(len(r) == 3 for r in rows)
     # byte tokenizer: token count equals byte length (within block size)
     assert int(rows[0][1]) == len("hello world")
+
+
+def test_hap_sequence_packing_matches_unpacked(nano_ckpt):
+    """Default sequence packing (segments share full-width rows with
+    block-diagonal attention) scores every sentence like row-per-sentence
+    batching: same rows/columns, values equal to float tolerance."""
+    seq = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+               nano_ckpt], input=LINES)
+    unpacked = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+                    "--no-pack", nano_ckpt], input=LINES)
+    assert seq.returncode == 0, seq.stderr
+    a = [l.split("\t") for l in seq.stdout.strip().split("\n")]
+    b = [l.split("\t") for l in unpacked.stdout.strip().split("\n")]
+    assert len(a) == len(b) == 5
+    for ra, rb in zip(a, b):
+        assert abs(float(ra[0]) - float(rb[0])) <= 2e-3, (ra, rb)
+        assert ra[1:] == rb[1:]
