@@ -129,11 +129,7 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
 
     if past is None:
         from haloop_tpu.ops.attention import mha
-        seg_mask = None
-        if segment_ids is not None:
-            seg_mask = (segment_ids[:, None, :, None] !=
-                        segment_ids[:, None, None, :])
-        y, ent = mha(q, k, v, mask=seg_mask, causal=cfg.causal,
+        y, ent = mha(q, k, v, causal=cfg.causal, segment_ids=segment_ids,
                      measure_entropy=measure_entropy)
         present = (k, v)
     else:

@@ -44,15 +44,26 @@ def causal_mask(T, S, t0=0):
 
 
 def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
-        measure_entropy=False, use_flash="auto"):
+        segment_ids=None, measure_entropy=False, use_flash="auto"):
     """Dispatching attention entry point used by all models.
 
     Prefer expressing masking semantically: ``causal`` (+ cache offset
-    ``t0``) and per-batch ``kv_lengths`` — these route to the fused
-    Pallas flash kernel on TPU. An explicit ``mask`` tensor (or entropy
+    ``t0``), per-batch ``kv_lengths``, and per-token ``segment_ids``
+    (packed rows, block-diagonal) — these route to the fused Pallas
+    flash kernels on TPU. An explicit ``mask`` tensor (or entropy
     measurement) falls back to the materialized XLA path.
     """
     T, S = q.shape[-2], k.shape[-2]
+    if (segment_ids is not None and mask is None and kv_lengths is None
+            and not measure_entropy and use_flash != "never" and T == S
+            and _flash_worthwhile(q, k, causal)):
+        from haloop_tpu.ops.flash import flash_attention_packed
+        out = flash_attention_packed(q, k, v, segment_ids, causal)
+        return out, jnp.float32(-jnp.inf)
+    if segment_ids is not None:
+        seg = (segment_ids[:, None, :, None] !=
+               segment_ids[:, None, None, :])
+        mask = seg if mask is None else (mask | seg)
     if (mask is None and not measure_entropy and use_flash != "never"
             and _flash_worthwhile(q, k, causal)):
         from haloop_tpu.ops.flash import flash_attention

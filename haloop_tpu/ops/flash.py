@@ -56,11 +56,12 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(run if causal else True)
     def _body():
-        q = q_ref[0].astype(jnp.float32) * scale           # (bq, d)
-        k = k_ref[0].astype(jnp.float32)                   # (bk, d)
+        # feed the MXU in the INPUT dtype with fp32 accumulation: a
+        # pre-cast to fp32 forces multi-pass fp32 MXU matmuls (~4x
+        # slower on bf16 inputs); scale applies to the fp32 scores
         qk = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (bq, bk)
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (bq, bk)
 
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         masked = cols >= kvlen_ref[nh]
@@ -75,7 +76,61 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         corr = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(kb == num_k - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _flash_seg_kernel(kvlen_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                      o_ref, m_ref, l_ref, acc_ref, *, causal, t0, bq, bk,
+                      d, num_k, scale):
+    """Forward with per-token segment ids (packed sequences): tokens
+    attend only within their own segment — the block-diagonal x causal
+    pattern of hap --pack. Segment comparison is one VPU compare on the
+    (bq, bk) score tile; the O(T^2) mask tensor the XLA path would
+    materialize in HBM never exists."""
+    import jax.experimental.pallas as pl
+
+    nh = pl.program_id(0)
+    qi = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row0 = t0 + qi * bq
+    col0 = kb * bk
+    run = (col0 <= row0 + bq - 1) if causal else True
+
+    @pl.when(run if causal else True)
+    def _body():
+        qk = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (bq, bk)
+
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        masked = cols >= kvlen_ref[nh]
+        if causal:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            masked = masked | (cols > rows)
+        masked = masked | (segq_ref[0] != segk_ref[0])     # (bq,1)!=(1,bk)
+
+        qk = jnp.where(masked, NEG_INF, qk)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        p = jnp.exp(qk - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
@@ -123,10 +178,11 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(run if causal else True)
     def _body():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        # bf16-in/fp32-accumulate matmuls (see forward); ds rounds to
+        # the K dtype before the dq dot — standard flash-backward
+        qk = jax.lax.dot_general(q_ref[0], k_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         masked = cols >= kvlen_ref[nh]
         if causal:
@@ -136,13 +192,12 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
         p = jnp.exp(qk - lse_ref[0])                         # (bq, bk)
         p = jnp.where(masked, 0.0, p)
-        do = do_ref[0].astype(jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0])
         acc_ref[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(kb == num_k - 1)
@@ -170,10 +225,9 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(run if causal else True)
     def _body():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        qk = jax.lax.dot_general(q_ref[0], k_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         masked = cols >= kvlen_ref[nh]
         if causal:
@@ -183,19 +237,18 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         p = jnp.exp(qk - lse_ref[0])
         p = jnp.where(masked, 0.0, p)
 
-        do = do_ref[0].astype(jnp.float32)
         # dv += p^T @ do
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0])
-        # dk += ds^T @ (q * scale)  [q already scaled]
+        # dk += (ds^T @ q) * scale
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
 
     @pl.when(qi == num_q - 1)
     def _finish():
@@ -309,6 +362,65 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
         out, lse = res
         return out.reshape(N, H, Tp, Dp)[:, :, :T, :D], lse
     return res.reshape(N, H, Tp, Dp)[:, :, :T, :D]
+
+
+def flash_attention_packed(q, k, v, segment_ids, causal=True,
+                           interpret=False, bq=None, bk=None):
+    """Fused attention over packed rows: q/k/v (N, H, T, D) self-attention
+    with per-token ``segment_ids`` (N, T) — block-diagonal (x causal)
+    masking inside the kernel. Forward-only (hap --pack scoring); a
+    training path would differentiate through the XLA fallback in
+    ops.attention.mha instead."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, T, D = q.shape
+    qp, kp, vp, bq, bk, Tp, Sp, Dp = _pad_pack(q, k, v, bq, bk)
+    kvl = jnp.full((N * H,), T, jnp.int32)
+
+    seg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, Tp - T)),
+                  constant_values=-1)
+    seg = jnp.broadcast_to(seg[:, None, :], (N, H, Tp)).reshape(N * H, Tp)
+    segq = seg[:, :, None]                                # (NH, Tp, 1)
+    segk = seg[:, None, :]                                # (NH, 1, Sp)
+
+    num_q, num_k = Tp // bq, Sp // bk
+    scale = 1.0 / math.sqrt(D)
+    kv_index = _kv_index_fn(causal, 0, bq, bk)
+
+    kernel = functools.partial(
+        _flash_seg_kernel, causal=causal, t0=0, bq=bq, bk=bk, d=Dp,
+        num_k=num_k, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N * H, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+            pl.BlockSpec((1, bk, Dp), kv_index),
+            pl.BlockSpec((1, bk, Dp), kv_index),
+            pl.BlockSpec((1, bq, 1), lambda nh, qi, kb: (nh, qi, 0)),
+            pl.BlockSpec((1, 1, bk),
+                         lambda nh, qi, kb: (nh, 0, kb) if not causal
+                         else (nh, 0, kv_index(nh, qi, kb)[1])),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda nh, qi, kb: (nh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N * H, Tp, Dp), q.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(kvl, qp, kp, vp, segq, segk)
+    return out.reshape(N, H, Tp, Dp)[:, :, :T, :D]
 
 
 def _flash_backward(q, k, v, kv_lengths, causal, t0, o, lse, do,

@@ -42,3 +42,38 @@ def test_backward_kernels_match_reference(T, S, causal, t0):
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("causal,blocks", [(True, None), (False, None),
+                                           (True, 64)])
+def test_packed_forward_matches_reference(causal, blocks):
+    """flash_attention_packed (segment-blocked attention for hap --pack)
+    vs the materialized reference with the same block-diagonal mask,
+    including multi-block grids (bq=bk=64 over T=256)."""
+    from haloop_tpu.ops.flash import flash_attention_packed
+    from haloop_tpu.ops.attention import attend, causal_mask
+
+    rng = np.random.default_rng(2)
+    T = 256
+    q = jnp.asarray(rng.normal(size=(2, 2, T, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, T, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 2, T, 64)).astype(np.float32))
+    # packed rows: segments of mixed lengths, 0-padded tails
+    seg = np.zeros((2, T), np.int32)
+    for r in range(2):
+        fill, s = 0, 1
+        while fill < T - 16:
+            n = min(int(rng.integers(8, 90)), T - 16 - fill)
+            seg[r, fill:fill + n] = s
+            fill += n
+            s += 1
+    seg = jnp.asarray(seg)
+
+    out = flash_attention_packed(q, k, v, seg, causal, interpret=True,
+                                 bq=blocks, bk=blocks)
+    mask = (seg[:, None, :, None] != seg[:, None, None, :])
+    if causal:
+        mask = mask | causal_mask(T, T)
+    ref, _ = attend(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
