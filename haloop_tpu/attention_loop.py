@@ -80,8 +80,16 @@ def make_parser():
     return parser
 
 
-def get_batch(args, data, step, rng=None):
-    """(G, B, T) micro-batch stack for one update."""
+def get_batch(args, data, step, rng=None, input_dtype=np.int32):
+    """(G, B, T) micro-batch stack for one update.
+
+    For the lm objective the targets are the host-free shift of x, so
+    this returns (x, None) and the trainer derives Y on device — the
+    batch crosses the host->device link once, at ``input_dtype`` width
+    (uint16 for GPT-2-sized vocabs), instead of twice at int64. The
+    reference hides its host path with pinned-memory async prefetch
+    (ha/attention_loop.py:98-127); here a producer thread + the thinner
+    transfer does the same job."""
     G_ = args.gradient_accumulation_steps
     B, T = args.batch_size, args.block_size
     n = G_ * B
@@ -90,21 +98,24 @@ def get_batch(args, data, step, rng=None):
     else:
         base = step * T * n
         ix = [(base + k * T) % max(len(data) - T, 1) for k in range(n)]
-    x = np.stack([data[i:i + T].astype(np.int64) for i in ix])
 
     match args.objective:
         case "lm":
-            y = np.concatenate([x[:, 1:], np.zeros((n, 1), np.int64)], 1)
+            x = np.stack([data[i:i + T].astype(input_dtype) for i in ix])
+            return x.reshape(G_, B, T), None
         case "denoise":
+            x = np.stack([data[i:i + T].astype(np.int64) for i in ix])
             x, y = mask_tokens(x, rng=rng)
         case "cond":
+            x = np.stack([data[i:i + T].astype(np.int64) for i in ix])
             # predict only the final real token of each sequence
             y_full = np.concatenate([x[:, 1:], np.zeros((n, 1), np.int64)],
                                     1)
             final = np.maximum((x != 0).sum(-1) - 2, 0)
             y = np.zeros_like(y_full)
             y[np.arange(n), final] = y_full[np.arange(n), final]
-    return x.reshape(G_, B, T), y.reshape(G_, B, T)
+    return (x.reshape(G_, B, T).astype(np.int32),
+            y.reshape(G_, B, T).astype(np.int32))
 
 
 def cast_tree(tree, dtype):
@@ -282,18 +293,79 @@ def main():
         print("Tokens per step, update:",
               args.block_size * args.batch_size, n_update_tokens)
 
+    # input pipeline: a producer thread keeps the next update's batch
+    # ready while the device runs the current step (the reference's
+    # pinned-memory async prefetch, ha/attention_loop.py:98-127, done
+    # host-side); batches ship at uint16/int32 width and lm targets are
+    # derived on device, so the host->device link carries 4-8x less
+    input_dtype = np.uint16 if (args.objective == "lm"
+                                and cfg.vocab_size <= 65535
+                                and args.mmap_dtype == "uint16") \
+        else np.int32
+
+    @jax.jit
+    def prep_lm(X):
+        X = X.astype(jnp.int32)
+        Y = jnp.concatenate([X[:, :, 1:], jnp.zeros_like(X[:, :, :1])], -1)
+        return X, Y
+
+    def ship(A):
+        A = jnp.asarray(A)
+        if len(mesh.devices.flat) > 1 and A.shape[1] % \
+                len(mesh.devices.flat) == 0:
+            return jax.device_put(A, NamedSharding(mesh,
+                                                   P(None, 'data', None)))
+        return A
+
+    if args.train:
+        import queue
+        import threading
+        batch_q = queue.Queue(maxsize=2)
+
+        def producer():
+            i = 0
+            try:
+                while True:
+                    batch_q.put(get_batch(
+                        args, train_data, i % max(train_batches, 1),
+                        rng=rng, input_dtype=input_dtype))
+                    i += 1
+            except Exception as e:              # surface in consumer
+                batch_q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+    def emit_log(entry):
+        """Print a (deferred) iteration's stats. On the tunneled
+        backend a value fetch synchronizes the whole device queue
+        (~30 ms round trip; see .claude/skills/verify), so: the two
+        scalars are stacked into ONE fetch, and it happens one
+        iteration late — after the next step is dispatched. Per-iter
+        logging still costs one sync; --log-interval 10 amortizes it
+        to noise (device-step-bound wall time)."""
+        it, loss, grad_norm, lr, dt = entry
+        train_loss, gnorm = np.asarray(jnp.stack([loss, grad_norm])).tolist()
+        if math.isnan(train_loss):
+            print("loss is NaN, skipping this update")
+        print(f"iter {it}: loss {train_loss:.4f}, "
+              f"time {dt*1000:.2f}ms, grad_norm: {gnorm:.3f},"
+              f" lr: {lr}")
+        if args.wandb:
+            wandb.log({"iter": it, "train/loss": train_loss,
+                       "train/grad_norm": gnorm, "lr": lr})
+
+    pending_log = None
     t0 = time.time()
     while args.train:
-        X, Y = get_batch(args, train_data, iter_num % max(train_batches, 1),
-                         rng=rng)
+        item = batch_q.get()
+        if isinstance(item, Exception):
+            raise item
+        X, Y = item
         key, k = jax.random.split(key)
-        if len(mesh.devices.flat) > 1 and X.shape[1] % \
-                len(mesh.devices.flat) == 0:
-            sh = NamedSharding(mesh, P(None, 'data', None))
-            XS = jax.device_put(jnp.asarray(X), sh)
-            YS = jax.device_put(jnp.asarray(Y), sh)
+        if Y is None:
+            XS, YS = prep_lm(ship(X))
         else:
-            XS, YS = jnp.asarray(X), jnp.asarray(Y)
+            XS, YS = ship(X), ship(Y)
         params, opt_state, loss, grad_norm = train_step(
             params, opt_state, XS, YS, k)
 
@@ -301,17 +373,11 @@ def main():
         t1 = time.time()
         dt = t1 - t0
         t0 = t1
+        if pending_log is not None:
+            emit_log(pending_log)
+            pending_log = None
         if iter_num % args.log_interval == 0 and master:
-            train_loss = float(loss)
-            if math.isnan(train_loss):
-                print("loss is NaN, skipping this update")
-            print(f"iter {iter_num}: loss {train_loss:.4f}, "
-                  f"time {dt*1000:.2f}ms, grad_norm: {float(grad_norm):.3f},"
-                  f" lr: {lr}")
-
-            if args.wandb:
-                wandb.log({"iter": iter_num, "train/loss": float(loss),
-                           "train/grad_norm": float(grad_norm), "lr": lr})
+            pending_log = (iter_num, loss, grad_norm, lr, dt)
 
         # eval/checkpoint gate is independent of --log-interval (the
         # reference nests it inside the log gate, so --eval-interval
@@ -319,6 +385,9 @@ def main():
         # fixed here deliberately)
         if iter_num and iter_num % args.eval_interval == 0 and val_data \
                 is not None and master:
+            if pending_log is not None:     # keep log lines in order
+                emit_log(pending_log)
+                pending_log = None
             val_loss, val_bpb = evaluate()
             print(f"eval {iter_num}: val loss {val_loss:.4f}")
             if args.wandb:
@@ -342,6 +411,9 @@ def main():
         iter_num += 1
         if iter_num > max_iters:
             break
+
+    if pending_log is not None:
+        emit_log(pending_log)
 
     if args.eval and master and not args.train:
         val_loss = evaluate()
