@@ -68,8 +68,22 @@ def save_checkpoint_sharded(path, obj):
 
     path = Path(path).resolve()
     tmp = path.with_name(path.name + ".tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    tmp.mkdir(parents=True)
+
+    # multi-writer discipline: orbax's array save is collective (every
+    # process writes its addressable shards), but the surrounding
+    # filesystem moves are process-0-only with barriers between phases
+    multi = jax.process_count() > 1
+
+    def barrier(tag):
+        if multi:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"haloop-ckpt-{tag}")
+
+    master = jax.process_index() == 0
+    if master:
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+    barrier("mkdir")
 
     counter = iter(range(1 << 30))
     arrays = {}
@@ -82,12 +96,16 @@ def save_checkpoint_sharded(path, obj):
         return x
 
     skeleton = jax.tree.map(mark, obj)
-    with open(tmp / "meta.pkl", "wb") as f:
-        pickle.dump(skeleton, f, protocol=pickle.HIGHEST_PROTOCOL)
+    if master:
+        with open(tmp / "meta.pkl", "wb") as f:
+            pickle.dump(skeleton, f, protocol=pickle.HIGHEST_PROTOCOL)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp / "arrays", arrays)
-    shutil.rmtree(path, ignore_errors=True)
-    tmp.rename(path)
+    barrier("saved")
+    if master:
+        shutil.rmtree(path, ignore_errors=True)
+        tmp.rename(path)
+    barrier("renamed")
 
 
 def load_checkpoint_sharded(path, template=None):

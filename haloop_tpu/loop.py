@@ -361,12 +361,17 @@ class System:
 
     def shard(self, *arrays):
         """Shard a batch's leading axis over the data mesh (no-op when
-        single-device or when the batch doesn't divide the mesh)."""
-        n = len(arrays[0])
-        if self.mesh is None or n % self.mesh.devices.size:
+        single-device or when the batch doesn't divide the mesh).
+        Multi-process: each process contributes its LOCAL loader shard;
+        the global batch (local x process_count) is assembled across
+        hosts (parallel.mesh.global_batch)."""
+        if self.mesh is None:
             return arrays
-        from haloop_tpu.parallel.mesh import shard_batch
-        return tuple(shard_batch(self.mesh, a) for a in arrays)
+        n = len(arrays[0]) * jax.process_count()
+        if n % self.mesh.devices.size:
+            return arrays
+        from haloop_tpu.parallel.mesh import global_batch
+        return tuple(global_batch(self.mesh, a) for a in arrays)
 
     # ------------------------------------------------------------- train
 

@@ -41,6 +41,22 @@ def shard_batch(mesh, batch, axis='data'):
         if getattr(x, 'ndim', 0) >= 1 else x, batch)
 
 
+def global_batch(mesh, x, axis='data'):
+    """Shard a batch's leading axis over ``axis``, multi-host aware.
+
+    Single-process: a plain device_put of the (global) host array.
+    Multi-process: each process holds only ITS slice of the global
+    batch (DataLoader process_shard), so the global array is assembled
+    from per-process local data — the jit step then sees one logical
+    batch of size local*process_count, the SPMD analog of DDP's
+    per-rank DataLoader shards (ha/attention_loop.py:90-93)."""
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def replicate(mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
@@ -54,11 +70,22 @@ def maybe_init_distributed():
     """Multi-host bring-up: call jax.distributed.initialize() when a
     coordinator is configured (the TPU-native replacement for the
     reference's RANK/LOCAL_RANK NCCL rendezvous,
-    ha/attention_loop.py:67-73). No-op on single-host runs."""
+    ha/attention_loop.py:67-73). No-op on single-host runs.
+
+    JAX_COORDINATOR_ADDRESS alone defers to jax's cluster
+    auto-detection; with JAX_NUM_PROCESSES + JAX_PROCESS_ID the
+    rendezvous is fully explicit (works for ad-hoc launches, e.g. the
+    two-process virtual multi-host test)."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialized / single process
-            print(f"jax.distributed.initialize skipped: {e}")
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kw = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kw)
+    except Exception as e:  # already initialized / single process
+        print(f"jax.distributed.initialize skipped: {e}")

@@ -1,0 +1,104 @@
+"""Child process for the two-process virtual multi-host test
+(tests/test_multihost.py). Launched twice with JAX_PROCESS_ID 0/1, 4
+virtual CPU devices each; exercises the REAL multi-host code paths:
+maybe_init_distributed env rendezvous, DataLoader process_shard,
+global-batch assembly from per-process local data, the shard_map train
+step over the global mesh, process-0-gated checkpointing, and the
+multi-writer orbax sharded save/restore."""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+
+    from haloop_tpu.parallel.mesh import maybe_init_distributed, is_master
+    maybe_init_distributed()
+
+    pid, pc = jax.process_index(), jax.process_count()
+    report = {"pid": pid, "pc": pc,
+              "global_devices": jax.device_count(),
+              "local_devices": len(jax.local_devices())}
+    assert pc == 2, f"expected 2 processes, got {pc}"
+    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+    from haloop_tpu.data import make_dataset
+    from haloop_tpu.dataloader import Collator, DataLoader
+    from haloop_tpu.init import create_model
+    from haloop_tpu.loop import System, make_parser
+    from haloop_tpu.symbol_tape import make_vocab
+
+    args = make_parser().parse_args(
+        ["--arch", "lstm-tiny:512", "--vocab", "512", "--dtype", "float32"])
+    vocab = make_vocab("512")
+    spec = create_model(args.arch)
+    params = spec.init(jax.random.PRNGKey(0))
+    system = System(args, spec, params, vocab)   # auto global 8-dev mesh
+    assert system.mesh is not None
+    assert system.mesh.devices.size == 8
+
+    # disjoint per-process dataset shards (DistributedSampler analog)
+    loader = DataLoader(make_dataset("head:sinusoids0"), Collator(vocab),
+                        batch_size=4, drop_last=True, shuffle=True,
+                        seed=7, process_shard=(pid, pc))
+    report["indices"] = sorted(int(i) for i in loader._indices())
+
+    # two global train steps from per-process local batches
+    losses = []
+    for step, batch in enumerate(loader):
+        _, inputs, ct, il, tl = batch
+        sharded = system.shard(inputs, ct, il, tl)
+        assert sharded[0].shape[0] == 8, sharded[0].shape  # global batch
+        (system.params, system.opt_state, loss, gn, bad) = \
+            system._train_step(system.params, system.opt_state, *sharded,
+                               jax.random.PRNGKey(step), jnp.int32(step))
+        losses.append(float(loss))
+        if step == 1:
+            break
+    report["losses"] = losses
+    # params are replicated: every process must hold identical values
+    report["param_sum"] = float(sum(
+        jnp.sum(x.astype(jnp.float64)) for x in
+        jax.tree.leaves(system.params)))
+
+    # process-0-only pickle checkpointing (loop.main's gate)
+    from haloop_tpu.checkpoint import Checkpointer
+    ckpt_dir = out_dir / "exp"
+    checkpoint = Checkpointer(path=ckpt_dir, save="last+best") \
+        if is_master() else (lambda **kw: None)
+    checkpoint(loss=losses[-1], epoch=0,
+               checkpoint_fn=lambda: system.make_state_dict(epoch=0))
+    report["is_master"] = bool(is_master())
+
+    # multi-writer orbax sharded save + restore round-trip
+    from haloop_tpu.checkpoint import (load_checkpoint_sharded,
+                                       save_checkpoint_sharded)
+    sharded_path = out_dir / "sharded"
+    save_checkpoint_sharded(sharded_path,
+                            {"model": system.params, "step": 2})
+    restored = load_checkpoint_sharded(
+        sharded_path, template={"model": system.params, "step": 2})
+    for a, b in zip(jax.tree.leaves(system.params),
+                    jax.tree.leaves(restored["model"])):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)))
+    report["sharded_roundtrip"] = True
+
+    with open(out_dir / f"report_{pid}.json", "w") as f:
+        json.dump(report, f)
+    print("CHILD-OK", pid, flush=True)
+
+
+if __name__ == "__main__":
+    main()
