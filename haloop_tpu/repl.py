@@ -34,7 +34,11 @@ def main():
     parser.add_argument('--device', type=str, default='tpu')
     parser.add_argument('--dtype', type=str, default='bfloat16')
     parser.add_argument('--seed', type=int, default=1337)
-    parser.add_argument('--spm', type=str, required=True)
+    parser.add_argument('--spm', type=str, default=None)
+    parser.add_argument('--bytes', action='store_true',
+                        help="tokenize as raw bytes (ids 0..255) — for "
+                             "byte-level checkpoints, no sentencepiece "
+                             "needed (hap --bytes counterpart)")
     parser.add_argument('--steps', type=int, default=10)
     parser.add_argument('--chunk', type=int, default=1,
                         help="tokens generated per device dispatch: 1 "
@@ -56,11 +60,15 @@ def main():
         import gnureadline as readline
     except ImportError:
         import readline
-    try:
-        import sentencepiece as spm
-    except ImportError:
-        print("Please install sentencepiece", file=sys.stderr)
-        raise
+    if not args.bytes:
+        if not args.spm:
+            raise SystemExit("pass --spm model or --bytes")
+        try:
+            import sentencepiece as spm
+        except ImportError:
+            print("Please install sentencepiece (or use --bytes)",
+                  file=sys.stderr)
+            raise
 
     readline.parse_and_bind('bind -v')
     histfile = args.histfile
@@ -83,7 +91,22 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
-    sp = spm.SentencePieceProcessor(model_file=args.spm)
+    if args.bytes:
+        class ByteTok:
+            def encode(self, s):
+                return list(s.encode('utf-8'))
+
+            def decode(self, ids):
+                return bytes(i for i in ids if 0 < i < 256).decode(
+                    'utf-8', 'replace')
+
+            def id_to_piece(self, t):
+                return chr(t) if t < 256 else f'<{t}>'
+        sp = ByteTok()
+        eos = 0                     # byte models: pad never appears in text
+    else:
+        sp = spm.SentencePieceProcessor(model_file=args.spm)
+        eos = Tok.eos
     key = jax.random.PRNGKey(args.seed)
 
     # jitted single-token step with a fixed-size cache
@@ -137,7 +160,7 @@ def main():
             if not start:
                 continue
         else:
-            start = [Tok.eos] + sp.encode(prompt)
+            start = [eos] + sp.encode(prompt)
 
         readline.add_history(prompt)
         x = jnp.asarray(np.array(start, np.int32))[None]
@@ -159,7 +182,7 @@ def main():
             if args.spec > 0:
                 toks = G.generate_speculative(
                     params, cfg, x, args.steps, draft_len=args.spec,
-                    stop_token=Tok.eos)
+                    stop_token=eos)
                 i = max(len(toks) - 1, 0)
                 for tid in toks:
                     emit(tid)
@@ -180,7 +203,7 @@ def main():
             if args.chunk > 1:
                 tok = sample(logits,
                              jax.random.fold_in(gen_key, 0)).astype(jnp.int32)
-                done = int(tok[0]) == Tok.eos
+                done = int(tok[0]) == eos
                 if not done:
                     emit(int(tok[0]))
                 i = 0                       # report matches streaming mode
@@ -190,7 +213,7 @@ def main():
                                                  gen_key, jnp.int32(ntok))
                     ntok += args.chunk
                     for tid in np.asarray(toks).tolist():
-                        if tid == Tok.eos or i + 1 >= args.steps:
+                        if tid == eos or i + 1 >= args.steps:
                             done = True
                             break
                         emit(tid)
@@ -199,7 +222,7 @@ def main():
                 for i in range(args.steps):
                     tok = sample(logits, jax.random.fold_in(gen_key, i))
                     tid = int(tok[0])
-                    if tid == Tok.eos:
+                    if tid == eos:
                         break
                     emit(tid)
                     logits, cache = step(params, tok.astype(jnp.int32),
