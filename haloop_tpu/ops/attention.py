@@ -85,11 +85,15 @@ def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
 def _flash_worthwhile(q, k, causal=False):
     """Use the Pallas kernel only on TPU and for long-enough sequences
     (short ones are faster through plain XLA fusion). Measured on v5e
-    with the auto block sizes: causal wins from T=256 (block skipping
-    pays immediately); non-causal needs T>=512 — at the e6ctc encoder's
-    T'=300 the single padded-to-384 block costs ~1.2 ms/step MORE than
-    XLA's fused attention across 6 layers. Tiny-query shapes (decoder
-    cross-attention, U~24) stay on the fused XLA path."""
+    with the auto block sizes AND bf16 MXU feeds (r3 — the floors moved
+    once the kernels stopped pre-casting to fp32): causal wins from
+    T=256; non-causal wins from T~300 — forward at the e6ctc encoder
+    shape (B=24 h=12 d=64, T=304): flash 1.98 vs XLA 2.73 ms, and the
+    FULL e6ctc-d4 train step (fwd+bwd through the kernels) in a
+    back-to-back A/B: 22.1 vs 24.6 ms/step. XLA stays ahead at <=256
+    (1.5-2.4 vs 2.1-2.5 ms). Tiny-query shapes (decoder
+    cross-attention, U~24) stay on the fused XLA path.
+    HALOOP_FLASH_NC_FLOOR overrides for A/B measurements."""
     import os
     if os.environ.get("HALOOP_KERNELS") == "0":
         return False
@@ -97,5 +101,6 @@ def _flash_worthwhile(q, k, causal=False):
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    floor = 256 if causal else 512
+    floor = 256 if causal else int(
+        os.environ.get("HALOOP_FLASH_NC_FLOOR", "300"))
     return on_tpu and q.shape[-2] >= floor and k.shape[-2] >= floor
