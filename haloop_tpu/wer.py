@@ -1,8 +1,9 @@
-"""haw — WER comparison of ref/hyp label files (reference: ha/wer.py).
+"""haw — WER comparison of ref/hyp label files (reference: ha/wer.py —
+behavior/format parity: same DataFrame columns, '.+-X' tag alphabet,
+TSV to stdout and the %WER summary line to stderr).
 
-Pandas join of two 'index key text' files, alignment tag strings
-('.+-X'), TSV to stdout and a %WER summary line to stderr. Uses the
-in-repo Levenshtein alignment instead of kaldialign.
+Uses the in-repo Levenshtein alignment (haloop_tpu.align, C-accelerated
+with a python fallback) instead of kaldialign.
 """
 
 import sys
@@ -13,65 +14,69 @@ import pandas as pd
 from haloop_tpu import argparse
 from haloop_tpu.align import align
 
+GAP = '␣'
+
 
 def clean_tokens(text):
-    return ' '.join(t for t in text.split() if t != '␣')
+    return ' '.join(t for t in text.split() if t != GAP)
 
 
 def clean_and_join_tokens(text):
-    return ''.join(t for t in text.split() if t != '␣').replace('▁', ' ')
+    return ''.join(t for t in text.split() if t != GAP).replace('▁', ' ')
 
 
 def read_text(filename: Path):
+    """'key TAB text' file -> DataFrame indexed by line number."""
+    records = {}
     with open(filename) as f:
-        rows = []
         for i, line in enumerate(f):
             key, text = line.strip().split(maxsplit=1)
-            rows.append((i, key, clean_tokens(text)))
-    return pd.DataFrame(
-        rows, columns=['dataset_index', 'media_filename', 'text']
-    ).set_index('dataset_index')
+            records[i] = (key, clean_tokens(text))
+    df = pd.DataFrame.from_dict(records, orient='index',
+                                columns=['media_filename', 'text'])
+    df.index.name = 'dataset_index'
+    return df
 
 
 def compute_alignment(hyp, ref):
+    """Per-utterance edit tags: '.' match, 'X' sub, '+' ins, '-' del
+    (the reference's tag alphabet, ha/wer.py:28-52; pair order follows
+    kaldialign: first element is the ref side)."""
+    counts = {'+': 0, '-': 0, 'X': 0, '.': 0}
     tags = []
-    ins = del_ = sub = 0
-    for h, r in align(ref, hyp, '␣'):
-        match h, r:
-            case '␣', _:
-                tags.append('+'); ins += 1
-            case _, '␣':
-                tags.append('-'); del_ += 1
-            case _, _:
-                if h == r:
-                    tags.append('.')
-                else:
-                    tags.append('X'); sub += 1
-    return {'tags': ''.join(tags), 'ins': ins, 'del': del_, 'sub': sub,
-            'total': ins + del_ + sub, 'hyp_length': len(hyp)}
+    for a, b in align(ref, hyp, GAP):
+        tag = ('+' if a == GAP else
+               '-' if b == GAP else
+               '.' if a == b else 'X')
+        counts[tag] += 1
+        tags.append(tag)
+    return {'tags': ''.join(tags), 'ins': counts['+'],
+            'del': counts['-'], 'sub': counts['X'],
+            'total': counts['+'] + counts['-'] + counts['X'],
+            'hyp_length': len(hyp)}
 
 
 def compute_wer_pointwise(ref_df, hyp_df, join_bpe=False):
+    """Join ref/hyp on media_filename and attach per-row alignment
+    stats (columns: ref_length, tags, ins, del, sub, total,
+    hyp_length)."""
     clean = clean_and_join_tokens if join_bpe else clean_tokens
     wer_df = ref_df.merge(hyp_df, on='media_filename',
                           suffixes=('_ref', '_hyp'))
-    lengths = pd.DataFrame(wer_df.apply(
-        lambda x: {'ref_length': len(clean(x['text_ref']).split())},
-        axis=1, result_type='expand'))
-    wer_df = wer_df.join(lengths)
-    edits = wer_df.apply(
-        lambda x: compute_alignment(clean(x['text_hyp']).split(),
-                                    clean(x['text_ref']).split()),
-        axis=1, result_type='expand')
-    return wer_df.join(edits)
+    rows = []
+    for ref_text, hyp_text in zip(wer_df['text_ref'], wer_df['text_hyp']):
+        ref_words = clean(ref_text).split()
+        stats = compute_alignment(clean(hyp_text).split(), ref_words)
+        rows.append({'ref_length': len(ref_words)} | stats)
+    return wer_df.join(pd.DataFrame(rows, index=wer_df.index))
 
 
 def format_wer(wer_df, tag='WER'):
-    total = wer_df['total'].sum()
-    ref_length = wer_df['ref_length'].sum()
-    return (f'%{tag}', round(100 * total / ref_length, 2),
-            f'errors={total}/{ref_length}', f"ins={wer_df['ins'].sum()}",
-            f"del={wer_df['del'].sum()}", f"sub={wer_df['sub'].sum()}")
+    s = {c: wer_df[c].sum()
+         for c in ('total', 'ref_length', 'ins', 'del', 'sub')}
+    return (f'%{tag}', round(100 * s['total'] / s['ref_length'], 2),
+            f"errors={s['total']}/{s['ref_length']}",
+            f"ins={s['ins']}", f"del={s['del']}", f"sub={s['sub']}")
 
 
 def main():
