@@ -241,8 +241,10 @@ class System:
                                            state, inputs, batch, k)
 
             if i % self.log_interval == 0:
-                loss = float(loss)
-                grad_norm = float(grad_norm)
+                # ONE stacked fetch: each value fetch synchronizes the
+                # whole device queue on tunneled backends (~30 ms)
+                loss, grad_norm = np.asarray(
+                    jnp.stack([loss, grad_norm])).tolist()
                 train_bpc = loss / math.log(2)
 
                 if self.args.hyp or self.args.chunk:
