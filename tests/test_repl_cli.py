@@ -1,0 +1,62 @@
+"""hat end-to-end through the CLI with --bytes: generation runs, and
+the same --seed samples identical text at --chunk 1 vs --chunk 4
+(ADVICE r2: per-token keys are fold_in(gen_key, token_index) in both
+paths, so chunking only changes dispatch granularity)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def run(cmd, **kw):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          **kw)
+
+
+@pytest.fixture(scope="module")
+def nano_ckpt(tmp_path_factory):
+    exp = tmp_path_factory.mktemp("hat") / "nano"
+    r = run([sys.executable, "-m", "haloop_tpu.init",
+             "gpt-nano:300:64", str(exp)])
+    assert r.returncode == 0, r.stderr
+    return str(exp / "best.pt")
+
+
+def gen(ckpt, tmp, *extra):
+    r = run([sys.executable, "-m", "haloop_tpu.repl", "--bytes",
+             "--steps", "24", "--histfile", str(tmp / "hist")]
+            + list(extra) + [ckpt], input="hello\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the generated continuation is everything after the prompt marker
+    return r.stdout
+
+
+def test_hat_bytes_generates(nano_ckpt, tmp_path):
+    out = gen(nano_ckpt, tmp_path, "--chunk", "1")
+    assert out.startswith(">- ")
+
+
+def test_hat_chunk_invariant_sampling(nano_ckpt, tmp_path):
+    """Same --seed + --temperature sampling at chunk 1 vs 4 must print
+    the same text (the r2 behavior drew different key streams)."""
+    a = gen(nano_ckpt, tmp_path, "--chunk", "1", "--top-k", "8",
+            "--seed", "5", "--temperature", "1.3")
+    b = gen(nano_ckpt, tmp_path, "--chunk", "4", "--top-k", "8",
+            "--seed", "5", "--temperature", "1.3")
+    assert a == b, (a, b)
+
+
+def test_hat_speculative_matches_greedy(nano_ckpt, tmp_path):
+    """--spec produces exactly the greedy (--top-k 1) stream. fp32:
+    draft verification evaluates K+1 positions in one forward, whose
+    bf16 reduction order can flip near-ties of an untrained model —
+    at fp32 the argmax stream is identical."""
+    greedy = gen(nano_ckpt, tmp_path, "--chunk", "1", "--top-k", "1",
+                 "--dtype", "float32")
+    spec = gen(nano_ckpt, tmp_path, "--spec", "4", "--dtype", "float32")
+    assert greedy == spec, (greedy, spec)
