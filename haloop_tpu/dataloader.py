@@ -100,7 +100,12 @@ class DataLoader:
         if self.process_shard is not None:
             pi, pc = self.process_shard
             if pc > 1:
-                indices = indices[pi::pc]
+                # equalize per-process counts (floor) so every host
+                # iterates the SAME number of batches — unequal counts
+                # would leave one host inside a collective step while
+                # another has exited the loop (deadlock); torch's
+                # DistributedSampler pads for the same reason
+                indices = indices[pi::pc][:len(indices) // pc]
         return indices
 
     def _index_batches(self):

@@ -143,6 +143,24 @@ class System:
     def _divides_mesh(self, n):
         return self.mesh is not None and n % self.mesh.devices.size == 0
 
+    def _use_collective_eval(self, n):
+        """Sharded eval/decode only make sense single-process: their
+        outputs are per-example rows the host prints, and a
+        multi-process global array spans non-addressable devices. On
+        multi-host each process evaluates its own loader shard locally
+        (the reference's DDP evaluates per-rank too)."""
+        return (self.mesh is not None and jax.process_count() == 1
+                and n % self.mesh.devices.size == 0)
+
+    def _ragged_on_mesh(self, n):
+        """True when a batch cannot be sharded over the mesh. On a
+        single process the replicated-jit fallback handles it; on
+        multi-host there is NO safe fallback (per-process steps would
+        skip the gradient allreduce and silently diverge the
+        replicated params), so the caller must skip the batch."""
+        return (self.mesh is not None and
+                (n * jax.process_count()) % self.mesh.devices.size != 0)
+
     def _sharded_eval_forward(self, train):
         """shard_map twin of _eval_forward (default stats-less path)."""
         ck = ('eval', train)
@@ -195,7 +213,7 @@ class System:
 
     def _run_eval_forward(self, inputs, condtargets, input_lengths,
                           condtarget_lengths, key, *, train):
-        if self._divides_mesh(len(input_lengths)):
+        if self._use_collective_eval(len(input_lengths)):
             return self._sharded_eval_forward(train)(
                 self.params, inputs, condtargets, input_lengths,
                 condtarget_lengths, key)
@@ -205,7 +223,7 @@ class System:
 
     def _run_decode(self, feats, feat_lens, target_lengths, prompt, key,
                     *, max_steps, train):
-        if self._divides_mesh(int(feats.shape[0])):
+        if self._use_collective_eval(int(feats.shape[0])):
             return self._sharded_decode(max_steps, train)(
                 self.params, feats, feat_lens, target_lengths, prompt,
                 key, self.fusion_params)
@@ -398,6 +416,17 @@ class System:
                 log(f'profiler trace written to {args.exp}/profile',
                     flush=True)
             step_key = self.next_key()
+            if jax.process_count() > 1 and \
+                    self._ragged_on_mesh(len(input_lengths)):
+                # every host sees the same batch-size sequence (the
+                # loader equalizes per-process counts), so this skip is
+                # taken by ALL hosts in lockstep — no host is left
+                # waiting inside a collective
+                log(f'[{epoch}, {global_step:5d}], batch of {len(idxs)} '
+                    f'x {jax.process_count()} processes does not divide '
+                    f'the {self.mesh.devices.size}-device mesh, skipping',
+                    flush=True)
+                continue
             inputs, condtargets, input_lengths, condtarget_lengths = \
                 self.shard(inputs, condtargets, input_lengths,
                            condtarget_lengths)
@@ -545,9 +574,13 @@ class System:
                 condtarget_lengths) in enumerate(loader):
             host_condtargets = np.asarray(condtargets)
             host_ct_lens = np.asarray(condtarget_lengths)
-            inputs, condtargets, input_lengths, condtarget_lengths = \
-                self.shard(inputs, condtargets, input_lengths,
-                           condtarget_lengths)
+            if jax.process_count() == 1:
+                # multi-host keeps eval batches host-local (see
+                # _use_collective_eval): each process decodes and prints
+                # its own loader shard
+                inputs, condtargets, input_lengths, condtarget_lengths = \
+                    self.shard(inputs, condtargets, input_lengths,
+                               condtarget_lengths)
             if measure_entropy:
                 out = self._eval_forward(
                     self.params, inputs, condtargets, input_lengths,

@@ -82,7 +82,8 @@ def maybe_init_distributed():
     if not addr:
         return
     kw = {"coordinator_address": addr}
-    if os.environ.get("JAX_NUM_PROCESSES"):
+    if os.environ.get("JAX_NUM_PROCESSES") and \
+            os.environ.get("JAX_PROCESS_ID") is not None:
         kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:

@@ -72,6 +72,38 @@ def main():
         jnp.sum(x.astype(jnp.float64)) for x in
         jax.tree.leaves(system.params)))
 
+    # per-process LOCAL eval + decode: multi-host keeps eval batches
+    # host-local (System._use_collective_eval) — each process prints its
+    # own loader shard's rows; a global eval array would span
+    # non-addressable devices and np.asarray would throw
+    import contextlib
+    import io
+    eval_loader = DataLoader(make_dataset("head:sinusoids0"),
+                             Collator(vocab), batch_size=4,
+                             process_shard=(pid, pc))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vloss = system.evaluate(0, eval_loader, tag="valid")
+    report["eval_loss_finite"] = bool(np.isfinite(vloss))
+    report["eval_rows"] = buf.getvalue().count("\thyp")
+
+    # lockstep ragged skip: batches of 3 x 2 processes don't divide the
+    # 8-device mesh; every host must skip every batch (no host may fall
+    # into a local-jit step that would skip the allreduce and diverge
+    # the replicated params — and no host may hang in a collective)
+    ragged_loader = DataLoader(make_dataset("head:sinusoids0"),
+                               Collator(vocab), batch_size=3,
+                               drop_last=True, shuffle=True, seed=7,
+                               process_shard=(pid, pc))
+    p_before = float(sum(jnp.sum(x.astype(jnp.float64))
+                         for x in jax.tree.leaves(system.params)))
+    with contextlib.redirect_stdout(io.StringIO()):
+        step_after = system.train_one_epoch(0, 0, ragged_loader, None)
+    p_after = float(sum(jnp.sum(x.astype(jnp.float64))
+                        for x in jax.tree.leaves(system.params)))
+    report["ragged_steps"] = step_after
+    report["ragged_params_frozen"] = bool(p_before == p_after)
+
     # process-0-only pickle checkpointing (loop.main's gate)
     from haloop_tpu.checkpoint import Checkpointer
     ckpt_dir = out_dir / "exp"

@@ -61,6 +61,16 @@ def test_two_process_hac(tmp_path):
     assert r0["losses"] == r1["losses"]
     assert r0["param_sum"] == r1["param_sum"]
 
+    # per-process local eval ran to completion and printed its own rows
+    for r in (r0, r1):
+        assert r["eval_loss_finite"]
+        assert r["eval_rows"] > 0
+    # every host skipped every undistributable (ragged-on-mesh) batch in
+    # lockstep: zero steps taken, params untouched, no deadlock
+    for r in (r0, r1):
+        assert r["ragged_steps"] == 0
+        assert r["ragged_params_frozen"]
+
     # only process 0 wrote the pickle checkpoint
     assert r0["is_master"] and not r1["is_master"]
     assert (tmp_path / "exp" / "last.pt").exists()
