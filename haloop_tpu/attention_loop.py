@@ -356,6 +356,7 @@ def main():
 
     pending_log = None
     t0 = time.time()
+    last_logged_iter = 0
     while args.train:
         item = batch_q.get()
         if isinstance(item, Exception):
@@ -370,14 +371,20 @@ def main():
             params, opt_state, XS, YS, k)
 
         lr = lr_ctl.get_lr(iter_num, max_iters)
+        # average wall time per iteration since the last log: with no
+        # per-iteration sync left in this loop (get_lr is host-pure,
+        # stats are fetched deferred) the host dispatches ahead of the
+        # device, so a single-iteration t1-t0 would measure dispatch
+        # (~6 ms), not the ~70 ms step
         t1 = time.time()
-        dt = t1 - t0
-        t0 = t1
+        dt = (t1 - t0) / max(iter_num - last_logged_iter, 1)
         if pending_log is not None:
             emit_log(pending_log)
             pending_log = None
         if iter_num % args.log_interval == 0 and master:
             pending_log = (iter_num, loss, grad_norm, lr, dt)
+            last_logged_iter = iter_num
+            t0 = t1
 
         # eval/checkpoint gate is independent of --log-interval (the
         # reference nests it inside the log gate, so --eval-interval

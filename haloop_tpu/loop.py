@@ -441,7 +441,13 @@ class System:
                         self.params, self.opt_state, inputs, condtargets,
                         input_lengths, condtarget_lengths, step_key,
                         jnp.int32(global_step))
-                    loss = float(loss)
+                    # ONE stacked fetch: on the tunneled backend every
+                    # host read syncs the whole device queue (~30 ms);
+                    # this branch used to pay three per iteration
+                    # (loss, bad, grad_norm)
+                    loss, grad_norm, bad = np.asarray(jnp.stack(
+                        [loss, grad_norm,
+                         bad.astype(jnp.float32)])).tolist()
                     if bad:
                         log(f'[{epoch}, {global_step:5d}], loss or grad_norm '
                             f'is not finite, skipping batch', flush=True)
@@ -465,6 +471,8 @@ class System:
                      bad) = self._apply_grads(
                         self.params, self.opt_state, acc_grads)
                     acc_grads = None
+                    grad_norm, bad = np.asarray(jnp.stack(
+                        [grad_norm, bad.astype(jnp.float32)])).tolist()
                     if bad:
                         log(f'[{epoch}, {global_step:5d}], grad_norm is '
                             f'not finite, skipping update', flush=True)
@@ -485,7 +493,6 @@ class System:
             lr = self.lr.get_lr(global_step)
             global_step += 1
             local_step += 1
-            grad_norm = float(grad_norm)
 
             train_loss += loss / args.log_interval
             if local_step % args.log_interval:

@@ -78,25 +78,34 @@ class LR:
 
 
 def schedule_value(it, *, kind, lr, min_lr, warmup_iters, lr_decay_iters):
-    """Pure schedule math, traceable (ha/optim.py:27-66 semantics)."""
-    it = jnp.asarray(it, jnp.float32)
+    """Pure schedule math, traceable (ha/optim.py:27-66 semantics).
+
+    Host callers (the training loops log lr EVERY iteration) get pure
+    numpy: on the tunneled backend a jnp scalar here would cost a
+    device round trip + full queue sync per iteration (~30-40 ms,
+    measured — it dominated hala's wall time over the 69 ms step).
+    Inside jit the same expressions trace as jnp ops.
+    """
+    import numpy as _host_np
+    xp = jnp if isinstance(it, (jax.core.Tracer, jax.Array)) else _host_np
+    it = xp.asarray(it, xp.float32)
     if kind == 'const':
-        return jnp.full_like(it, lr)
+        return xp.full_like(it, lr)
     if kind == 'noam':
         d_model = 768.0
-        it1 = jnp.maximum(it, 1.0)
-        return d_model * jnp.minimum(it1 ** -0.5, it1 * warmup_iters ** -1.5)
+        it1 = xp.maximum(it, 1.0)
+        return d_model * xp.minimum(it1 ** -0.5, it1 * warmup_iters ** -1.5)
     warm = lr * it / max(warmup_iters, 1)
     if kind == 'cosine':
         ratio = (it - warmup_iters) / max(lr_decay_iters - warmup_iters, 1)
-        ratio = jnp.clip(ratio, 0.0, 1.0)
-        coeff = 0.5 * (1.0 + jnp.cos(jnp.pi * ratio))
+        ratio = xp.clip(ratio, 0.0, 1.0)
+        coeff = 0.5 * (1.0 + xp.cos(xp.pi * ratio))
         main = min_lr + coeff * (lr - min_lr)
     else:  # linear
         slope = (lr - min_lr) / max(lr_decay_iters - warmup_iters, 1)
-        main = jnp.clip(lr - (it - warmup_iters) * slope, min_lr, lr)
-    return jnp.where(it < warmup_iters, warm,
-                     jnp.where(it > lr_decay_iters, min_lr, main))
+        main = xp.clip(lr - (it - warmup_iters) * slope, min_lr, lr)
+    return xp.where(it < warmup_iters, warm,
+                    xp.where(it > lr_decay_iters, min_lr, main))
 
 
 NO_DECAY_TOKENS = ("ln_", "ln1", "ln2", "norm", "wpe", "wte", "embedding",
