@@ -14,13 +14,6 @@ from haloop_tpu import argparse
 
 
 def main():
-    try:
-        import sentencepiece as spm
-    except ImportError:
-        print("sentencepiece is not installed in this environment",
-              file=sys.stderr)
-        raise
-
     parser = argparse.ArgumentParser(description='binarize a corpus',
                                      formatter_class=argparse.Formatter)
     parser.add_argument('--model', type=str, required=True)
@@ -28,6 +21,13 @@ def main():
                         help='pad each line to this many tokens')
     parser.add_argument('output', type=str)
     args = parser.parse_args()
+
+    try:
+        import sentencepiece as spm
+    except ImportError:
+        print("sentencepiece is not installed in this environment",
+              file=sys.stderr)
+        raise SystemExit(2)
 
     sp = spm.SentencePieceProcessor(model_file=args.model)
     out = []

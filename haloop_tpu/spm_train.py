@@ -7,19 +7,19 @@ from haloop_tpu import argparse
 
 
 def main():
-    try:
-        import sentencepiece as spm
-    except ImportError:
-        print("sentencepiece is not installed in this environment",
-              file=sys.stderr)
-        raise
-
     parser = argparse.ArgumentParser(description='train a BPE model',
                                      formatter_class=argparse.Formatter)
     parser.add_argument('--vocab-size', type=int, default=512)
     parser.add_argument('--model-prefix', type=str, default='spm')
     parser.add_argument('input', type=str)
     args = parser.parse_args()
+
+    try:
+        import sentencepiece as spm
+    except ImportError:
+        print("sentencepiece is not installed in this environment",
+              file=sys.stderr)
+        raise SystemExit(2)
 
     spm.SentencePieceTrainer.train(
         input=args.input,
