@@ -389,6 +389,11 @@ def gpt_params_from_state_dict(sd, cfg):
         p["transformer"]["wte_norm"] = {
             "weight": get("transformer.wte.norm.weight"),
             "bias": get("transformer.wte.norm.bias")}
+    if cfg.stable_embedding and "transformer.wpe.norm.weight" in sd:
+        # StableEmbedding wraps wpe too (ha/attention.py:192)
+        p["transformer"]["wpe_norm"] = {
+            "weight": get("transformer.wpe.norm.weight"),
+            "bias": get("transformer.wpe.norm.bias")}
     for i in range(cfg.n_layer):
         pre = f"transformer.h.{i}."
         blk = {

@@ -64,7 +64,10 @@ def gpt_init(key, cfg: GPTConfig):
                     * 0.02},
     }
     if cfg.stable_embedding:
+        # the reference's StableEmbedding (ha/attention.py:32-61) wraps
+        # BOTH wte and wpe, each with its own LayerNorm
         p["transformer"]["wte_norm"] = layer_norm_init(cfg.n_embd)
+        p["transformer"]["wpe_norm"] = layer_norm_init(cfg.n_embd)
     return p
 
 
@@ -94,14 +97,19 @@ def _embed(p, cfg, input_ids, t0, key=None, train=False, positions=None):
     if cfg.stable_embedding:
         tok = layer_norm(p["transformer"]["wte_norm"], tok)
     if cfg.rotary_emb_dim:
-        x = tok
-    elif positions is not None:
+        return dropout(key, tok, cfg.dropout, deterministic=not train)
+    if positions is not None:
         # packed rows: per-token positions restart at segment starts
-        x = tok + embedding(p["transformer"]["wpe"], positions)
+        pos_emb = embedding(p["transformer"]["wpe"], positions)
     else:
         T = input_ids.shape[-1]
         pos = t0 + jnp.arange(T)
-        x = tok + embedding(p["transformer"]["wpe"], pos)[None]
+        pos_emb = embedding(p["transformer"]["wpe"], pos)[None]
+    # StableEmbedding wraps wpe too (ha/attention.py:192,54-61); older
+    # native checkpoints may predate the wpe_norm parameter
+    if cfg.stable_embedding and "wpe_norm" in p["transformer"]:
+        pos_emb = layer_norm(p["transformer"]["wpe_norm"], pos_emb)
+    x = tok + pos_emb
     return dropout(key, x, cfg.dropout, deterministic=not train)
 
 

@@ -45,6 +45,45 @@ def test_large_checkpoint_defaults(tmp_path):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_stable_embedding_wpe_norm_parity(tmp_path):
+    """StableEmbedding wraps wpe too (ha/attention.py:192): a TRAINED
+    wpe (non-zero) goes through its own LayerNorm. The fresh-init case
+    can't see this (wpe starts zero and LN(0) = 0), so randomize wpe
+    and the wpe norm before comparing logits."""
+    torch = pytest.importorskip("torch")
+    from conftest import reference_module
+    ha_attention = reference_module("ha.attention")
+
+    class Cfg:
+        block_size = 16; vocab_size = 97; n_layer = 1; n_head = 2
+        n_embd = 16; dropout = 0.0; bias = True; stable_embedding = True
+        causal = True; d_input = 1; rotary_emb_dim = 0
+
+    torch.manual_seed(1)
+    tmodel = ha_attention.GPT(Cfg()).eval()
+    with torch.no_grad():
+        tmodel.transformer.wpe.weight.normal_(0.0, 0.5)
+        tmodel.transformer.wpe.norm.weight.normal_(1.0, 0.1)
+        tmodel.transformer.wpe.norm.bias.normal_(0.0, 0.1)
+    model_args = {"block_size": 16, "vocab_size": 97, "n_layer": 1,
+                  "n_head": 2, "n_embd": 16, "dropout": 0.0, "bias": True,
+                  "stable_embedding": True}
+    torch.save({"model": tmodel.state_dict(), "model_args": model_args},
+               tmp_path / "stable.pt")
+
+    spec, params = load_model(tmp_path / "stable.pt")
+    assert "wpe_norm" in params["transformer"], \
+        "wpe.norm must be ingested for stable_embedding checkpoints"
+
+    ids = np.array([[1, 2, 3, 4]], dtype=np.int64)
+    with torch.no_grad():
+        tlogits, _ = tmodel(torch.tensor(ids))
+    x, _, _ = G._trunk(params, spec.config, jnp.array(ids))
+    jlogits = G.lm_logits(params, x)[:, -1:, :]
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_gpt_cached_vs_reference_attend_cached():
     """Our cached GPT attention against the reference's attend_cached
     math (ha/attention.py:64-93)."""
