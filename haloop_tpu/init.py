@@ -420,6 +420,50 @@ def gpt_params_from_state_dict(sd, cfg):
     return p
 
 
+def gpt_state_dict_from_params(params, cfg, dtype=np.float32):
+    """Inverse of gpt_params_from_state_dict: flatten our GPT pytree
+    into the reference's torch state-dict names (ha/attention.py
+    module tree) for .pt export. The tied wte/lm_head entries share
+    ONE numpy object so the exporter emits one storage for both
+    (ha/attention.py:203 weight tying)."""
+
+    def arr(a):
+        a = np.asarray(a)
+        if dtype is not None and a.dtype.kind not in "iub":
+            a = a.astype(dtype)  # floats (incl. ml_dtypes bf16) upcast
+        return np.ascontiguousarray(a)
+
+    sd = {}
+    tied = arr(params["lm_head"]["weight"])
+    sd["transformer.wte.weight"] = tied
+    sd["lm_head.weight"] = tied
+    tr = params["transformer"]
+    sd["transformer.wpe.weight"] = arr(tr["wpe"]["weight"])
+    sd["transformer.ln_f.weight"] = arr(tr["ln_f"]["weight"])
+    if "bias" in tr["ln_f"]:
+        sd["transformer.ln_f.bias"] = arr(tr["ln_f"]["bias"])
+    for emb, ours in (("wte", "wte_norm"), ("wpe", "wpe_norm")):
+        if ours in tr:
+            sd[f"transformer.{emb}.norm.weight"] = arr(tr[ours]["weight"])
+            sd[f"transformer.{emb}.norm.bias"] = arr(tr[ours]["bias"])
+    for i, blk in enumerate(tr["h"]):
+        pre = f"transformer.h.{i}."
+        for ln in ("ln_1", "ln_2"):
+            sd[pre + ln + ".weight"] = arr(blk[ln]["weight"])
+            if "bias" in blk[ln]:
+                sd[pre + ln + ".bias"] = arr(blk[ln]["bias"])
+        for mod, sub in (("attn", "c_attn"), ("attn", "c_proj"),
+                         ("mlp", "c_fc"), ("mlp", "c_proj")):
+            leaf = blk[mod][sub]
+            sd[pre + f"{mod}.{sub}.weight"] = arr(leaf["weight"])
+            if "bias" in leaf:
+                sd[pre + f"{mod}.{sub}.bias"] = arr(leaf["bias"])
+            if "lora_A" in leaf:
+                sd[pre + f"{mod}.{sub}.lora_A.weight"] = arr(leaf["lora_A"])
+                sd[pre + f"{mod}.{sub}.lora_B.weight"] = arr(leaf["lora_B"])
+    return sd
+
+
 def load_model(ckpt_path, **_):
     """Load a GPT checkpoint (native or reference .pt). Returns
     (GPTModel spec, params). Large-checkpoint defaults per
