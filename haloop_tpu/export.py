@@ -24,6 +24,60 @@ from haloop_tpu.checkpoint import load_checkpoint
 from haloop_tpu.pt_saver import save_pt
 
 
+def _flatten(tree, prefix="", dtype=None, out=None):
+    """Nested pytree -> flat torch state-dict names (lists by index).
+    Our module pytrees already use the reference's attribute names
+    (lstm.weight_ih_l0, subsample.weight, classifier.bias, ...), so the
+    dotted flatten IS the reference state dict."""
+    if out is None:
+        out = {}
+    items = list(enumerate(tree)) if isinstance(tree, (list, tuple)) \
+        else list(tree.items())
+    for k, v in items:
+        key = f"{prefix}{k}"
+        if isinstance(v, (dict, list, tuple)):
+            _flatten(v, key + ".", dtype, out)
+        else:
+            a = np.asarray(v)
+            if dtype is not None and a.dtype.kind not in 'iub':
+                a = a.astype(dtype)
+            out[key] = np.ascontiguousarray(a)
+    return out
+
+
+def _export_hac(ckpt, output, dtype):
+    """hac checkpoints split into per-module raw state dicts — the
+    reference consumes them via ``--init enc.pt,rec.pt``
+    (/root/reference/ha/init.py:282-302, module.load_state_dict on the
+    raw file contents)."""
+    from pathlib import Path
+    base = Path(output)
+    stem = base.with_suffix('') if base.suffix == '.pt' else base
+    for mod in ('encoder', 'recognizer'):
+        sd = _flatten(ckpt[mod], dtype=dtype)
+        path = Path(f'{stem}.{mod}.pt')
+        save_pt(path, sd)
+        n = sum(v.size for v in sd.values())
+        print(f'wrote {mod}: {n/1e6:.1f}M params -> {path}',
+              file=sys.stderr)
+
+
+def _export_hal(ckpt, output, dtype):
+    """hal checkpoints keep the reference rnnlm schema: a flat
+    ha.rnn.Decoder state dict under 'model' (tied out_layer.weight
+    shares the embedding storage), plus the vocab/step metadata."""
+    sd = _flatten(ckpt['model'], dtype=dtype)
+    if 'embedding.weight' in sd and 'out_layer.weight' not in sd:
+        sd['out_layer.weight'] = sd['embedding.weight']  # tied, one storage
+    out = {'model': sd}
+    for k in ('vocab', 'step', 'prompt', 'args'):
+        if k in ckpt:
+            out[k] = ckpt[k]
+    save_pt(output, out)
+    n = sum(v.size for v in sd.values())
+    print(f'wrote hal LM: {n/1e6:.1f}M params -> {output}', file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='export a native checkpoint to torch .pt format',
@@ -46,9 +100,16 @@ def main():
         print(f'wrote raw pytree to {args.output}', file=sys.stderr)
         return
 
+    if isinstance(ckpt, dict) and 'encoder' in ckpt and 'recognizer' in ckpt:
+        _export_hac(ckpt, args.output, dtype)
+        return
+    if isinstance(ckpt, dict) and 'model' in ckpt and 'vocab' in ckpt \
+            and 'model_args' not in ckpt:
+        _export_hal(ckpt, args.output, dtype)
+        return
     if not (isinstance(ckpt, dict) and 'model' in ckpt
             and 'model_args' in ckpt):
-        raise SystemExit('not a GPT checkpoint (no model/model_args keys); '
+        raise SystemExit('not a GPT/hac/hal checkpoint; '
                          'use --raw for arbitrary pytrees')
 
     import dataclasses

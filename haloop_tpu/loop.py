@@ -78,9 +78,20 @@ class System:
         self.fusion_layers, self.fusion_dim = 2, 512
         if getattr(args, 'lm', None):
             ckpt = load_checkpoint(args.lm)
-            self.fusion_params = jax.tree.map(jnp.asarray, ckpt['model'])
-            self.fusion_layers = ckpt['args']['num_layers']
-            self.fusion_dim = ckpt['args']['rnn_size']
+            model = ckpt['model']
+            if isinstance(model, dict) and any('.' in str(k) for k in model):
+                # flat torch state-dict names: a reference hal .pt
+                from haloop_tpu.models import rnn as _rnn
+                self.fusion_params = _rnn.decoder_params_from_state_dict(
+                    model)
+                w = self.fusion_params['rnn']
+                self.fusion_layers = sum(
+                    1 for k in w if k.startswith('weight_hh_l'))
+                self.fusion_dim = w['weight_hh_l0'].shape[1]
+            else:
+                self.fusion_params = jax.tree.map(jnp.asarray, model)
+                self.fusion_layers = ckpt['args']['num_layers']
+                self.fusion_dim = ckpt['args']['rnn_size']
         # one pattern for EVERY device-facing path on a mesh: shard_map
         # with force_local so the Pallas kernels (no GSPMD partitioning
         # rules) stay active per-shard, per-shard dropout streams via

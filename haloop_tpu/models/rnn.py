@@ -10,6 +10,7 @@ batch-first applies, explicit hidden-state carry for TBPTT.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from haloop_tpu.nn.core import conv1d, conv1d_init, dropout, embedding, embedding_init
 from haloop_tpu.nn.lstm import lstm_init, multilayer_lstm
@@ -57,12 +58,39 @@ def encoder_apply(p, inputs, input_lengths, *, num_layers=3, p_drop=0.2,
 # ---------------------------------------------------------------- Decoder
 
 def decoder_init(key, vocab_size, emb_dim, hidden_dim, num_layers):
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
+    bound = 1.0 / float(hidden_dim) ** 0.5
     p = {
         "embedding": embedding_init(k1, vocab_size, emb_dim, std=1.0),
         "rnn": lstm_init(k2, emb_dim, hidden_dim, num_layers),
+        # tied: out_layer.weight IS embedding.weight (requires
+        # emb_dim == hidden); the BIAS is independent and nonzero —
+        # nn.Linear keeps its own bias after the tying assignment
+        # (ha/rnn.py:40-42, bias init U(-1/sqrt(H), 1/sqrt(H)))
+        "out_layer": {"bias": jax.random.uniform(
+            k3, (vocab_size,), jnp.float32, -bound, bound)},
     }
-    # tied: out_layer.weight IS embedding.weight (requires emb_dim == hidden)
+    return p
+
+
+def _out_bias(p, out):
+    if "out_layer" in p:                 # absent in pre-r3 checkpoints
+        return out + p["out_layer"]["bias"].astype(out.dtype)
+    return out
+
+
+def decoder_params_from_state_dict(sd):
+    """Flat reference ``ha.rnn.Decoder`` state-dict names -> our nested
+    pytree (inverse of the dotted flatten the exporter emits)."""
+    sd = {k.removeprefix("_orig_mod."): jnp.asarray(np.ascontiguousarray(v))
+          for k, v in sd.items() if hasattr(v, "shape")}
+    p = {
+        "embedding": {"weight": sd["embedding.weight"]},
+        "rnn": {k[len("rnn."):]: v for k, v in sd.items()
+                if k.startswith("rnn.")},
+    }
+    if "out_layer.bias" in sd:
+        p["out_layer"] = {"bias": sd["out_layer.bias"]}
     return p
 
 
@@ -81,7 +109,7 @@ def decoder_apply(p, input_ids, state, *, num_layers, dropout_rate=0.0,
     out, state = multilayer_lstm(p["rnn"], emb, state, num_layers=num_layers,
                                  dropout=dropout_rate, dropout_key=key,
                                  deterministic=not train)
-    logits = out @ emb_w.T.astype(out.dtype)        # tied output projection
+    logits = _out_bias(p, out @ emb_w.T.astype(out.dtype))  # tied projection
     if batch_first:
         logits = jnp.swapaxes(logits, 0, 1)
     return logits, state
@@ -104,7 +132,7 @@ def decoder_step(p, token_ids, state, *, num_layers):
         hs.append(hn)
         cs.append(cn)
         x = hn
-    logits = x @ emb_w.T                               # tied projection
+    logits = _out_bias(p, x @ emb_w.T)                 # tied projection
     return logits, (jnp.stack(hs), jnp.stack(cs))
 
 

@@ -105,7 +105,12 @@ class System:
                                      args.rnn_size, args.rnn_size,
                                      args.num_layers)
         if ckpt is not None:
-            self.params = jax.tree.map(jnp.asarray, ckpt['model'])
+            model = ckpt['model']
+            if isinstance(model, dict) and any('.' in str(k) for k in model):
+                # flat torch state-dict names: a reference hal .pt
+                self.params = R.decoder_params_from_state_dict(model)
+            else:
+                self.params = jax.tree.map(jnp.asarray, model)
 
         self.tx = optax.adamw(args.lr, b1=0.9, b2=0.999,
                               weight_decay=args.wd)

@@ -91,6 +91,85 @@ def test_save_pt_without_torch_loads_in_torch(tmp_path):
                           torch.arange(6, dtype=torch.float32))
 
 
+def test_hac_export_loads_in_reference_modules(tmp_path):
+    """hac checkpoint -> per-module .pt files -> strict load into the
+    reference Encoder/TemporalClassifier (the --init consumption path,
+    ha/init.py:282-302)."""
+    torch = pytest.importorskip("torch")
+    from conftest import reference_module
+    ha_rnn = reference_module("ha.rnn")
+    ha_recognizer = reference_module("ha.recognizer")
+    from haloop_tpu.init import create_model
+    from haloop_tpu.checkpoint import save_checkpoint
+
+    spec = create_model("lstm:512")
+    params = spec.init(jax.random.PRNGKey(0))
+    native = tmp_path / "hac.pt"
+    save_checkpoint(native, {"encoder": params["encoder"],
+                             "recognizer": params["recognizer"],
+                             "optimizer": None, "loop_args": {}})
+    subprocess.run([sys.executable, "-m", "haloop_tpu.export",
+                    str(native), str(tmp_path / "out.pt")], check=True,
+                   cwd=REPO,
+                   env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                        "PALLAS_AXON_POOL_IPS": "", "HOME": "/root"})
+
+    enc_sd = torch.load(tmp_path / "out.encoder.pt", weights_only=True)
+    enc = ha_rnn.Encoder(input_dim=80, hidden_dim=1536)
+    enc.load_state_dict(enc_sd, strict=True)
+    rec_sd = torch.load(tmp_path / "out.recognizer.pt", weights_only=True)
+    rec = ha_recognizer.TemporalClassifier(feat_dim=1536, vocab_size=512)
+    rec.load_state_dict(rec_sd, strict=True)
+
+
+def test_hal_export_decoder_parity(tmp_path):
+    """hal checkpoint -> torch .pt -> strict load into the reference
+    ha.rnn.Decoder (tied out_layer.weight, independent bias) -> logits
+    parity with our decoder_apply."""
+    torch = pytest.importorskip("torch")
+    from conftest import reference_module
+    ha_rnn = reference_module("ha.rnn")
+    from haloop_tpu.models import rnn as R
+    from haloop_tpu.checkpoint import save_checkpoint
+
+    V, H, L = 37, 24, 2
+    params = R.decoder_init(jax.random.PRNGKey(7), V, H, H, L)
+    native = tmp_path / "hal.pt"
+    save_checkpoint(native, {"model": params, "vocab": {"kind": "bytes"},
+                             "step": 11, "args": {"num_layers": L,
+                                                  "rnn_size": H}})
+    out = tmp_path / "hal_ref.pt"
+    subprocess.run([sys.executable, "-m", "haloop_tpu.export",
+                    str(native), str(out)], check=True, cwd=REPO,
+                   env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                        "PALLAS_AXON_POOL_IPS": "", "HOME": "/root"})
+
+    ckpt = torch.load(out, weights_only=True)
+    assert ckpt["step"] == 11
+    # tied entries share one storage
+    assert ckpt["model"]["out_layer.weight"].data_ptr() == \
+        ckpt["model"]["embedding.weight"].data_ptr()
+    tdec = ha_rnn.Decoder(V, H, H, L).eval()
+    tdec.load_state_dict(ckpt["model"], strict=True)
+
+    ids = np.array([[3, 1, 4, 1, 5]], dtype=np.int64)  # (N=1, T=5)
+    with torch.no_grad():
+        tout, _ = tdec.forward_batch_first(torch.tensor(ids),
+                                           tdec.init_hidden(1))
+    state = R.decoder_init_hidden(L, 1, H)
+    jout, _ = R.decoder_apply(
+        jax.tree.map(lambda x: x.astype(jnp.float32), params),
+        jnp.asarray(ids), state, num_layers=L, batch_first=True)
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+    # and the reference-written file loads straight back into hal's
+    # nested pytree (flat-name ingestion)
+    back = R.decoder_params_from_state_dict(ckpt["model"])
+    np.testing.assert_array_equal(np.asarray(back["out_layer"]["bias"]),
+                                  np.asarray(params["out_layer"]["bias"]))
+
+
 def test_gpt_export_loads_in_reference_model(tmp_path):
     """Full migration loop: our trained-from-init GPT params -> export
     CLI -> torch.load -> reference GPT.load_state_dict(strict) ->

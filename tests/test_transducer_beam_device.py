@@ -52,20 +52,70 @@ def test_beam1_equals_monotonic_greedy():
                                    rtol=1e-4)
 
 
-def test_wider_beam_dominates():
-    lm_layers, lm_dim, V, F = 1, 16, 10, 8
+def exhaustive_oracle(p, feats, T_n, lm_layers, lm_dim, V):
+    """Enumerate EVERY monotonic action sequence (blank or one of V-1
+    labels per frame) and return the max total log-prob. The prediction
+    net depends only on the emitted prefix, so g is memoized per
+    prefix."""
+    import itertools
+    f = np.asarray(linear(p["classifier"], feats))
+    cache = {}
+
+    def g_for(prefix):
+        if prefix not in cache:
+            if not prefix:
+                state = R.decoder_init_hidden(lm_layers, 1, lm_dim)
+                g, state = R.decoder_step(p["lm"], jnp.zeros((1,), jnp.int32),
+                                          state, num_layers=lm_layers)
+            else:
+                g, state = cache[prefix[:-1]]
+                g, state = R.decoder_step(
+                    p["lm"], jnp.array([prefix[-1]], jnp.int32), state,
+                    num_layers=lm_layers)
+            cache[prefix] = (np.asarray(g), state)
+        return cache[prefix][0]
+
+    best = -np.inf
+    for actions in itertools.product(range(V), repeat=T_n):
+        prefix, score = (), 0.0
+        for t, c in enumerate(actions):
+            logp = np.asarray(jax.nn.log_softmax(
+                jnp.asarray(f[t] + g_for(prefix)[0]), -1))
+            score += float(logp[c])
+            if c != 0:
+                prefix = prefix + (c,)
+        best = max(best, score)
+    return best
+
+
+def test_full_beam_equals_exhaustive_oracle():
+    """With K >= (number of reachable action sequences) the beam is an
+    exhaustive search: its best score must EQUAL the enumerated global
+    max, and any narrower beam is dominated by it (the guaranteed form
+    of 'wider is better' — pairwise K vs K' dominance is NOT a theorem
+    of beam search and the old test relied on seed luck)."""
+    lm_layers, lm_dim, V, F = 1, 8, 4, 6
+    T = 4                       # 4^4 = 256 action sequences
     p = RE.transducer_init(jax.random.PRNGKey(3), feat_dim=F, vocab_size=V,
                            lm_dim=lm_dim, lm_layers=lm_layers)
     rng = np.random.default_rng(1)
-    N, T = 3, 12
+    N = 2
     feats = jnp.asarray(rng.normal(size=(N, T, F)).astype(np.float32) * 2)
-    lengths = jnp.array([12, 10, 7], jnp.int32)
+    lengths = jnp.array([T, T], jnp.int32)
 
-    _, _, s1 = transducer_beam_search_batched(
-        p, feats, lengths, beam_width=1, lm_layers=lm_layers, lm_dim=lm_dim)
-    _, _, s4 = transducer_beam_search_batched(
-        p, feats, lengths, beam_width=4, lm_layers=lm_layers, lm_dim=lm_dim)
-    assert (np.asarray(s4)[:, 0] >= np.asarray(s1)[:, 0] - 1e-5).all()
+    _, _, s_full = transducer_beam_search_batched(
+        p, feats, lengths, beam_width=256, lm_layers=lm_layers,
+        lm_dim=lm_dim)
+    for n in range(N):
+        want = exhaustive_oracle(p, feats[n], T, lm_layers, lm_dim, V)
+        np.testing.assert_allclose(float(s_full[n, 0]), want, rtol=1e-4)
+
+    for k in (1, 4):
+        _, _, s_k = transducer_beam_search_batched(
+            p, feats, lengths, beam_width=k, lm_layers=lm_layers,
+            lm_dim=lm_dim)
+        assert (np.asarray(s_full)[:, 0] >=
+                np.asarray(s_k)[:, 0] - 1e-5).all()
 
 
 def test_beam_entropy_stat():
