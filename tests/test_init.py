@@ -109,6 +109,19 @@ def test_optim_decay_mask_and_schedule():
                                 "lr_decay_iters": 1.0})
     assert abs(LR(ns2).get_lr(20, total_steps=200) - 3e-4) < 1e-9
 
+    # the host (numpy) and traced (jnp) schedule paths must agree:
+    # the loops read get_lr every iteration host-side while optax uses
+    # the jitted schedule inside the update (optim.schedule_value)
+    from haloop_tpu.optim import schedule_value
+    for kind in ("const", "cosine", "linear", "noam"):
+        jit_fn = jax.jit(lambda it, k=kind: schedule_value(
+            it, kind=k, lr=3e-4, min_lr=6e-5, warmup_iters=10,
+            lr_decay_iters=100))
+        for it in (0, 1, 5, 10, 55, 99, 100, 101, 500):
+            host = schedule_value(it, kind=kind, lr=3e-4, min_lr=6e-5,
+                                  warmup_iters=10, lr_decay_iters=100)
+            assert abs(float(jit_fn(it)) - float(host)) < 1e-9, (kind, it)
+
     tx, state = configure_optimizers(params, ns, total_steps=100)
     g = jax.tree.map(jnp.ones_like, params)
     updates, state = tx.update(g, state, params)
