@@ -80,7 +80,8 @@ def make_parser():
     return parser
 
 
-def get_batch(args, data, step, rng=None, input_dtype=np.int32):
+def get_batch(args, data, step, rng=None, input_dtype=np.int32,
+              process_shard=None):
     """(G, B, T) micro-batch stack for one update.
 
     For the lm objective the targets are the host-free shift of x, so
@@ -96,7 +97,11 @@ def get_batch(args, data, step, rng=None, input_dtype=np.int32):
     if args.train_shuffle:
         ix = rng.integers(0, len(data) - T, n)
     else:
-        base = step * T * n
+        # multi-process: hosts read disjoint consecutive windows (the
+        # SPMD analog of the reference's per-rank DistributedSampler-free
+        # striding, ha/attention_loop.py:90-93 + per-rank seed :75)
+        pi, pc = process_shard or (0, 1)
+        base = (step * pc + pi) * T * n
         ix = [(base + k * T) % max(len(data) - T, 1) for k in range(n)]
 
     match args.objective:
@@ -124,9 +129,16 @@ def cast_tree(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
-def make_train_step(cfg, args, tx, compute_dtype):
+def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
     """One jitted update: scan over micro-batches accumulating grads,
-    clip, AdamW. Batch arrays are sharded over the data mesh outside."""
+    clip, AdamW. Batch arrays are sharded over the data mesh outside.
+
+    Data-parallel meshes run the step under shard_map with force_local
+    — the same one-pattern-for-every-device-path discipline as hac
+    (loop.py): Pallas kernels (no GSPMD partitioning rules) stay active
+    per-shard, dropout keys fold in the shard index, and lax.pmean is
+    the gradient allreduce. Pass mesh=None (or a 1-device / tensor-
+    parallel mesh) for the plain-jit GSPMD path."""
 
     def loss_fn(params, x, y, key):
         # LoRA params (lora_A/lora_B) ride along in the pytree and are
@@ -135,7 +147,13 @@ def make_train_step(cfg, args, tx, compute_dtype):
         return G.forward_all(fparams, cfg, x, y, key=key,
                              train=cfg.dropout > 0)
 
-    def step(params, opt_state, X, Y, key):
+    def step_impl(params, opt_state, X, Y, key, axis=None):
+        if axis is not None:
+            # per-shard dropout stream, identical on every host (the
+            # shard index is global), unlike a per-process seed which
+            # would diverge the replicated params
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
         def micro(grads, xyk):
             x, y, k = xyk
             loss, g = jax.value_and_grad(loss_fn)(params, x, y, k)
@@ -146,6 +164,12 @@ def make_train_step(cfg, args, tx, compute_dtype):
         grads, losses = jax.lax.scan(micro, zero, (X, Y, keys))
         gsteps = X.shape[0]
         grads = jax.tree.map(lambda g: g / gsteps, grads)
+        mean_loss = jnp.mean(losses)
+        if axis is not None:
+            # DDP allreduce; every shard then applies the identical
+            # clip + update to its replicated params
+            grads = jax.lax.pmean(grads, axis)
+            mean_loss = jax.lax.pmean(mean_loss, axis)
 
         gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                              for g in jax.tree.leaves(grads)))
@@ -156,7 +180,6 @@ def make_train_step(cfg, args, tx, compute_dtype):
         # NaN/Inf guard inside jit (reference skips the optimizer step
         # before stepping, ha/attention_loop.py:209-214): a non-finite
         # loss or grad norm leaves params and opt_state untouched.
-        mean_loss = jnp.mean(losses)
         ok = jnp.isfinite(mean_loss) & jnp.isfinite(gnorm)
 
         def apply(operand):
@@ -172,7 +195,23 @@ def make_train_step(cfg, args, tx, compute_dtype):
                                          (params, opt_state, grads))
         return params, opt_state, mean_loss, gnorm
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    if mesh is not None:
+        from jax import shard_map
+        from haloop_tpu.ops import dispatch
+        B3, R = P(None, 'data', None), P()
+
+        def dp_step(params, opt_state, X, Y, key):
+            with dispatch.force_local():
+                return step_impl(params, opt_state, X, Y, key,
+                                 axis='data')
+
+        return jax.jit(shard_map(dp_step, mesh=mesh,
+                                 in_specs=(R, R, B3, B3, R),
+                                 out_specs=(R, R, R, R),
+                                 check_vma=False),
+                       donate_argnums=(0, 1))
+
+    return jax.jit(step_impl, donate_argnums=(0, 1))
 
 
 def main():
@@ -196,6 +235,20 @@ def main():
     else:
         mesh = data_mesh()
     master = is_master()
+    pc = jax.process_count()
+    multi = pc > 1
+    if multi:
+        # the reference's distributed surface is DDP-in-hala only
+        # (ha/attention_loop.py:67-80); multi-process here is likewise
+        # data-parallel: the global batch is assembled across hosts
+        if tp > 1:
+            raise SystemExit("--tensor-parallel across processes is not "
+                             "supported; multi-process hala is data-"
+                             "parallel (the reference's DDP surface)")
+        if (args.batch_size * pc) % n_dev:
+            raise SystemExit(
+                f"batch_size {args.batch_size} x {pc} processes does not "
+                f"divide the {n_dev}-device mesh")
     rng = np.random.default_rng(1337 + jax.process_index())
 
     train_data = np.memmap(args.train, dtype=args.mmap_dtype, mode="r") \
@@ -203,8 +256,14 @@ def main():
     val_data = np.memmap(args.eval, dtype=args.mmap_dtype, mode="r") \
         if args.eval else None
 
-    checkpoint = Checkpointer(path=args.exp, save=args.save, fmt=args.ckpt_format) if master \
-        else None
+    # pickle saves are master-only (params are replicated; one host
+    # writes); orbax sharded saves are collective — every process must
+    # construct and call the Checkpointer (multi-writer barriers live in
+    # checkpoint.save_checkpoint_sharded)
+    ckpt_collective = multi and args.ckpt_format == 'sharded'
+    checkpoint = Checkpointer(path=args.exp, save=args.save,
+                              fmt=args.ckpt_format) \
+        if (master or ckpt_collective) else None
 
     (spec, params), _, _ = Initializer()(args)
     assert isinstance(spec, GPTModel)
@@ -247,7 +306,20 @@ def main():
             tx)
     opt_state = tx.init(params)
 
-    train_step = make_train_step(cfg, args, tx, compute_dtype)
+    if multi:
+        # replicate over the global mesh so the jitted step is one
+        # collective SPMD program (hac does the same, loop.py System)
+        from haloop_tpu.parallel.mesh import replicate
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+
+    # data-parallel meshes take the shard_map step (kernels active
+    # per-shard); tensor-parallel and 1-device meshes, or batches that
+    # don't divide the mesh, take the plain-jit GSPMD step
+    dp_mesh = mesh if (tp == 1 and mesh.devices.size > 1 and
+                       (args.batch_size * pc) % n_dev == 0) else None
+    train_step = make_train_step(cfg, args, tx, compute_dtype,
+                                 mesh=dp_mesh)
 
     fcast = partial(cast_tree, dtype=compute_dtype)
 
@@ -257,19 +329,29 @@ def main():
         count = jnp.sum(y > 0)
         return loss, count
 
+    def eval_ship(a):
+        """Multi-process: each host contributes ITS rows of the global
+        eval batch; single-process: plain transfer."""
+        if multi:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P('data')), np.ascontiguousarray(a))
+        return jnp.asarray(a)
+
     def evaluate():
-        eval_iters = len(val_data) // args.block_size // args.batch_size
+        """Collective under multi-process: every host runs the same
+        global program over disjoint slices of the val set and sees the
+        identical (replicated) total — eval is data-parallel, unlike
+        the reference's rank-0-redundant evaluate."""
+        B, T = args.batch_size, args.block_size
+        eval_iters = len(val_data) // T // (B * pc)
         tot_loss = tot_count = 0.0
         for k in range(eval_iters):
-            base = k * args.block_size * args.batch_size
-            x = np.stack([val_data[i:i + args.block_size].astype(np.int64)
-                          for i in range(base,
-                                         base + args.block_size *
-                                         args.batch_size,
-                                         args.block_size)])
+            base = (k * pc + jax.process_index()) * T * B
+            x = np.stack([val_data[i:i + T].astype(np.int64)
+                          for i in range(base, base + T * B, T)])
             y = np.concatenate([x[:, 1:], np.zeros((len(x), 1), np.int64)],
                                1)
-            loss, count = eval_step(params, jnp.asarray(x), jnp.asarray(y))
+            loss, count = eval_step(params, eval_ship(x), eval_ship(y))
             tot_loss += float(loss)
             tot_count += float(count)
         val_loss = tot_loss / max(tot_count, 1)
@@ -280,7 +362,14 @@ def main():
     if args.wandb and master:
         wandb.init(config=vars(args))
 
-    key = jax.random.PRNGKey(1337 + jax.process_index())
+    # ONE global dropout key on every host: the jitted step is a single
+    # SPMD program over the global batch, so XLA partitions the dropout
+    # mask across devices from the shared key. A per-process key here
+    # (the reference's per-rank seed, ha/attention_loop.py:75) would
+    # make each host compute different masks for the same global program
+    # and silently diverge the replicated params. Per-host randomness
+    # belongs host-side only (the data rng above IS per-process).
+    key = jax.random.PRNGKey(1337)
 
     if args.train and master:
         n_trainable = sum(
@@ -310,6 +399,13 @@ def main():
         return X, Y
 
     def ship(A):
+        if multi:
+            # each process holds its (G, B_local, T) share; the global
+            # (G, B_local*pc, T) batch is assembled across hosts — the
+            # SPMD analog of DDP's per-rank batches
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(None, 'data', None)),
+                np.ascontiguousarray(A))
         A = jnp.asarray(A)
         if len(mesh.devices.flat) > 1 and A.shape[1] % \
                 len(mesh.devices.flat) == 0:
@@ -322,13 +418,16 @@ def main():
         import threading
         batch_q = queue.Queue(maxsize=2)
 
+        shard = (jax.process_index(), pc)
+
         def producer():
             i = 0
             try:
                 while True:
                     batch_q.put(get_batch(
                         args, train_data, i % max(train_batches, 1),
-                        rng=rng, input_dtype=input_dtype))
+                        rng=rng, input_dtype=input_dtype,
+                        process_shard=shard))
                     i += 1
             except Exception as e:              # surface in consumer
                 batch_q.put(e)
@@ -391,28 +490,36 @@ def main():
         # silently no-ops unless it is a multiple of --log-interval;
         # fixed here deliberately)
         if iter_num and iter_num % args.eval_interval == 0 and val_data \
-                is not None and master:
+                is not None:
+            # EVERY process enters: evaluate() is collective under
+            # multi-process (global eval batches over replicated
+            # params), and all hosts must take the NaN break in
+            # lockstep — a master-only gate would leave workers
+            # waiting inside the next collective
             if pending_log is not None:     # keep log lines in order
                 emit_log(pending_log)
                 pending_log = None
             val_loss, val_bpb = evaluate()
-            print(f"eval {iter_num}: val loss {val_loss:.4f}")
-            if args.wandb:
-                wandb.log({"iter": iter_num, "val/loss": val_loss,
-                           "val/bpb": val_bpb})
+            if master:
+                print(f"eval {iter_num}: val loss {val_loss:.4f}")
+                if args.wandb:
+                    wandb.log({"iter": iter_num, "val/loss": val_loss,
+                               "val/bpb": val_bpb})
             if not math.isnan(val_loss):
-                checkpoint(loss=val_loss, epoch=iter_num,
-                           checkpoint_fn=lambda: {
-                               'model': params,
-                               'optimizer': opt_state,
-                               'model_args': cfg.state_dict(),
-                               'iter_num': iter_num,
-                               'val_loss': val_loss,
-                               'val_bpb': val_bpb,
-                               'args': vars(args),
-                           })
+                if checkpoint is not None:
+                    checkpoint(loss=val_loss, epoch=iter_num,
+                               checkpoint_fn=lambda: {
+                                   'model': params,
+                                   'optimizer': opt_state,
+                                   'model_args': cfg.state_dict(),
+                                   'iter_num': iter_num,
+                                   'val_loss': val_loss,
+                                   'val_bpb': val_bpb,
+                                   'args': vars(args),
+                               })
             else:
-                print("NaN loss detected")
+                if master:
+                    print("NaN loss detected")
                 break
 
         iter_num += 1
@@ -422,9 +529,20 @@ def main():
     if pending_log is not None:
         emit_log(pending_log)
 
-    if args.eval and master and not args.train:
-        val_loss = evaluate()
-        print(f"step {iter_num}: val loss {val_loss}. final eval")
+    if args.train and multi:
+        # cross-host divergence detector: replicated params must be
+        # bit-identical on every host; each process prints its own
+        # local checksum to stderr so a launcher (or test) can compare
+        checksum = float(jnp.stack(
+            [jnp.sum(jnp.abs(x.astype(jnp.float32)))
+             for x in jax.tree.leaves(params)]).sum())
+        print(f"process {jax.process_index()}: param checksum "
+              f"{checksum:.9e} after {iter_num} iters", file=sys.stderr)
+
+    if args.eval and not args.train:
+        val_loss = evaluate()      # collective under multi-process
+        if master:
+            print(f"step {iter_num}: val loss {val_loss}. final eval")
 
 
 if __name__ == '__main__':

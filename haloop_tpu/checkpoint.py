@@ -159,7 +159,8 @@ class Checkpointer:
         self.path.mkdir(parents=True, exist_ok=True)
 
     def _save(self, path, checkpoint):
-        print(f'saving checkpoint to {path}', flush=True)
+        if jax.process_index() == 0:
+            print(f'saving checkpoint to {path}', flush=True)
         if self.fmt == 'sharded':
             save_checkpoint_sharded(path, checkpoint)
         else:

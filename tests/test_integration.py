@@ -191,3 +191,49 @@ def test_device_fbank_matches_host(tmp_path):
     # measured CPU gap ~1e-6 rel; 1e-4 leaves float headroom without
     # masking real frontend divergence (was 2e-2, VERDICT r2 Missing #3)
     np.testing.assert_allclose(float(loss_w), float(loss_h), rtol=1e-4)
+
+
+def test_gpt_train_step_shard_map_parity():
+    """hala's data-parallel shard_map step (kernels active per-shard,
+    pmean allreduce) must match the plain-jit step on identical
+    dropout-free inputs at float tolerance — the hala twin of the hac
+    DP parity test (tests/test_parallel.py)."""
+    import optax
+    from haloop_tpu.attention_loop import make_train_step, make_parser as mp
+    from haloop_tpu.models import gpt as G
+    from haloop_tpu.optim import decay_mask
+    from haloop_tpu.parallel import data_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multiple devices")
+    mesh = data_mesh()
+    ndev = mesh.devices.size
+
+    args = mp().parse_args(['--train', 'x', '--block_size', '32',
+                            '--batch_size', str(ndev),
+                            '--gradient_accumulation_steps', '2',
+                            '--dtype', 'float32'])
+    cfg = G.GPTConfig(block_size=32, vocab_size=64, n_layer=1, n_head=2,
+                      n_embd=16, dropout=0.0)
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3, mask=decay_mask)
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.integers(1, 64, (2, ndev, 32)))
+    Y = jnp.asarray(rng.integers(1, 64, (2, ndev, 32)))
+    key = jax.random.PRNGKey(1)
+
+    outs = {}
+    for name, m in (("plain", None), ("shard_map", mesh)):
+        step = make_train_step(cfg, args, tx, jnp.float32, mesh=m)
+        p, o = jax.tree.map(jnp.array, params), tx.init(params)
+        p, o, loss, gnorm = step(p, o, X, Y, key)
+        outs[name] = (jax.tree.map(np.asarray, p), float(loss),
+                      float(gnorm))
+
+    (p0, l0, g0), (p1, l1, g1) = outs["plain"], outs["shard_map"]
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    np.testing.assert_allclose(g0, g1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

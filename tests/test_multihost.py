@@ -9,10 +9,13 @@ ha/attention_loop.py:67-80, not its single-process shadow)."""
 
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
 from pathlib import Path
+
+import numpy as np
 
 
 def free_port():
@@ -21,23 +24,29 @@ def free_port():
         return s.getsockname()[1]
 
 
+def multihost_env(port, pid, n_local_devices=4):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS":
+            f"--xla_force_host_platform_device_count={n_local_devices}",
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PROCESS_ID": str(pid),
+    })
+    return env
+
+
 def test_two_process_hac(tmp_path):
     port = free_port()
     child = Path(__file__).parent / "multihost_child.py"
     procs = []
     for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "JAX_PLATFORMS": "cpu",
-            "PALLAS_AXON_POOL_IPS": "",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(pid),
-        })
         procs.append(subprocess.Popen(
             [sys.executable, str(child), str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=multihost_env(port, pid),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
@@ -77,3 +86,72 @@ def test_two_process_hac(tmp_path):
 
     # both processes round-tripped the multi-writer sharded save
     assert r0["sharded_roundtrip"] and r1["sharded_roundtrip"]
+
+
+def test_two_process_hala(tmp_path):
+    """Two-process hala CLI end-to-end — the exact distributed surface
+    of the reference (DDP lives in hala ONLY, ha/attention_loop.py:
+    67-80): per-process disjoint batch windows assembled into one
+    global SPMD batch, collective data-parallel eval, master-only
+    logging/checkpointing, and replicated params provably identical on
+    both hosts after training (per-process checksum lines)."""
+    rng = np.random.default_rng(0)
+    # byte-ish corpus with learnable structure: loss must fall
+    pattern = np.tile(np.arange(32, dtype=np.uint16) % 250 + 1, 4096)
+    noise = rng.integers(1, 250, len(pattern), dtype=np.uint16)
+    train = np.where(rng.random(len(pattern)) < 0.05, noise, pattern)
+    train.tofile(tmp_path / "train.bin")
+    train[: 64 * 4 * 2 * 4].tofile(tmp_path / "val.bin")
+
+    argv = [
+        sys.executable, "-m", "haloop_tpu.attention_loop",
+        "--arch", "gpt-nano:256:64",
+        "--train", str(tmp_path / "train.bin"),
+        "--eval", str(tmp_path / "val.bin"),
+        "--batch_size", "4", "--block_size", "64",
+        "--gradient_accumulation_steps", "2",
+        "--max_iters", "24", "--eval-interval", "12",
+        "--log-interval", "4", "--lr", "2e-3", "--warmup_iters", "1",
+        "--exp", str(tmp_path / "exp"), "--save", "last+best",
+    ]
+    port = free_port()
+    procs = [subprocess.Popen(argv, env=multihost_env(port, pid),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True,
+                              cwd=Path(__file__).parent.parent)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"hala child failed:\n{out}\n{err[-3000:]}"
+
+    (out0, err0), (out1, err1) = outs
+
+    # master logs train/eval/checkpoint lines; the worker logs none
+    iters0 = re.findall(r"iter (\d+): loss ([\d.]+)", out0)
+    assert len(iters0) >= 5, out0
+    assert "eval 12: val loss" in out0 and "eval 24: val loss" in out0
+    assert "saving checkpoint" in out0
+    assert "iter" not in out1 and "eval" not in out1 \
+        and "saving" not in out1, out1
+
+    # training learns: loss falls across the run
+    losses = [float(l) for _, l in iters0]
+    assert losses[-1] < losses[0] - 0.5, losses
+
+    # replicated params are bit-identical across hosts after 12 global
+    # steps (the checksum is printed independently by each process)
+    sums = {}
+    for pid, err in ((0, err0), (1, err1)):
+        m = re.search(
+            r"process (\d+): param checksum ([\d.e+-]+) after (\d+)", err)
+        assert m, err[-2000:]
+        assert int(m.group(1)) == pid
+        sums[pid] = m.group(2)
+        assert int(m.group(3)) == 25
+    assert sums[0] == sums[1], sums
+
+    # only one checkpoint tree, written by the master
+    from haloop_tpu.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(tmp_path / "exp" / "last.pt")
+    assert ckpt["iter_num"] == 24
+    assert np.isfinite(ckpt["val_loss"])
