@@ -255,6 +255,15 @@ def main():
         if args.train else None
     val_data = np.memmap(args.eval, dtype=args.mmap_dtype, mode="r") \
         if args.eval else None
+    if val_data is not None and \
+            len(val_data) < args.block_size * args.batch_size * pc:
+        # fail fast: zero eval iterations would silently report
+        # val_loss 0.0 and checkpoint it as best (multi-process
+        # multiplies the minimum by the process count)
+        raise SystemExit(
+            f"--eval set has {len(val_data)} tokens; needs at least "
+            f"block_size*batch_size*processes = "
+            f"{args.block_size * args.batch_size * pc} for one eval batch")
 
     # pickle saves are master-only (params are replicated; one host
     # writes); orbax sharded saves are collective — every process must
@@ -331,10 +340,11 @@ def main():
 
     def eval_ship(a):
         """Multi-process: each host contributes ITS rows of the global
-        eval batch; single-process: plain transfer."""
+        eval batch (parallel.mesh.global_batch); single-process: plain
+        transfer."""
         if multi:
-            return jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P('data')), np.ascontiguousarray(a))
+            from haloop_tpu.parallel.mesh import global_batch
+            return global_batch(mesh, a)
         return jnp.asarray(a)
 
     def evaluate():
@@ -403,9 +413,8 @@ def main():
             # each process holds its (G, B_local, T) share; the global
             # (G, B_local*pc, T) batch is assembled across hosts — the
             # SPMD analog of DDP's per-rank batches
-            return jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P(None, 'data', None)),
-                np.ascontiguousarray(A))
+            from haloop_tpu.parallel.mesh import global_batch
+            return global_batch(mesh, A, spec=P(None, 'data', None))
         A = jnp.asarray(A)
         if len(mesh.devices.flat) > 1 and A.shape[1] % \
                 len(mesh.devices.flat) == 0:

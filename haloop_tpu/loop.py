@@ -77,21 +77,13 @@ class System:
         self.fusion_params = None
         self.fusion_layers, self.fusion_dim = 2, 512
         if getattr(args, 'lm', None):
+            from haloop_tpu.models import rnn as _rnn
             ckpt = load_checkpoint(args.lm)
-            model = ckpt['model']
-            if isinstance(model, dict) and any('.' in str(k) for k in model):
-                # flat torch state-dict names: a reference hal .pt
-                from haloop_tpu.models import rnn as _rnn
-                self.fusion_params = _rnn.decoder_params_from_state_dict(
-                    model)
-                w = self.fusion_params['rnn']
-                self.fusion_layers = sum(
-                    1 for k in w if k.startswith('weight_hh_l'))
-                self.fusion_dim = w['weight_hh_l0'].shape[1]
-            else:
-                self.fusion_params = jax.tree.map(jnp.asarray, model)
-                self.fusion_layers = ckpt['args']['num_layers']
-                self.fusion_dim = ckpt['args']['rnn_size']
+            # native pytree or flat reference hal .pt — one detection
+            # point for every hal-checkpoint consumer
+            self.fusion_params = _rnn.ingest_decoder_params(ckpt['model'])
+            self.fusion_layers, self.fusion_dim = _rnn.decoder_geometry(
+                self.fusion_params)
         # one pattern for EVERY device-facing path on a mesh: shard_map
         # with force_local so the Pallas kernels (no GSPMD partitioning
         # rules) stay active per-shard, per-shard dropout streams via
@@ -464,17 +456,23 @@ class System:
                             f'is not finite, skipping batch', flush=True)
                         continue
                 else:
-                    # micro-batch gradient accumulation
+                    # micro-batch gradient accumulation. The non-finite
+                    # micro-loss gate runs ON DEVICE (_masked_accum): a
+                    # bad micro-batch contributes zero gradient and the
+                    # positional accumulate boundary advances — the
+                    # reference's semantics exactly (loss/accumulate is
+                    # pre-divided, the skipped backward just leaves its
+                    # term out, ha/loop.py:167-181) — so the host fetch
+                    # happens ONCE per update, not once per micro-batch
+                    # (~30 ms queue sync each on the tunneled backend)
                     loss, grads = self._micro_grads(
                         inputs, condtargets, input_lengths,
                         condtarget_lengths, step_key)
-                    loss = float(loss)
-                    if not np.isfinite(loss):
-                        log(f'[{epoch}, {global_step:5d}], loss is not '
-                            f'finite, skipping batch', flush=True)
-                        continue
-                    acc_grads = grads if acc_grads is None else jax.tree.map(
-                        jnp.add, acc_grads, grads)
+                    if acc_grads is None:
+                        acc_grads = jax.tree.map(jnp.zeros_like, grads)
+                        acc_nbad = jnp.int32(0)
+                    acc_grads, acc_nbad = self._run_masked_accum(
+                        acc_grads, acc_nbad, loss, grads)
                     accum += 1
                     if accum % args.accumulate:
                         continue
@@ -482,8 +480,13 @@ class System:
                      bad) = self._apply_grads(
                         self.params, self.opt_state, acc_grads)
                     acc_grads = None
-                    grad_norm, bad = np.asarray(jnp.stack(
-                        [grad_norm, bad.astype(jnp.float32)])).tolist()
+                    loss, grad_norm, bad, nbad = np.asarray(jnp.stack(
+                        [loss, grad_norm, bad.astype(jnp.float32),
+                         acc_nbad.astype(jnp.float32)])).tolist()
+                    if nbad:
+                        log(f'[{epoch}, {global_step:5d}], {int(nbad)} '
+                            f'micro-batch(es) had non-finite loss, '
+                            f'contributed zero gradient', flush=True)
                     if bad:
                         log(f'[{epoch}, {global_step:5d}], grad_norm is '
                             f'not finite, skipping update', flush=True)
@@ -549,6 +552,21 @@ class System:
         return self._micro_grads_ragged(self.params, inputs, condtargets,
                                         input_lengths, condtarget_lengths,
                                         key)
+
+    def _run_masked_accum(self, acc, nbad, loss, grads):
+        """Accumulate one micro-batch of gradients on device, masking
+        out non-finite micro-losses (zero contribution) and counting
+        them — keeps the NaN gate without a per-micro-batch host sync
+        (reference semantics: the skipped backward leaves its
+        pre-divided term out, ha/loop.py:167-181)."""
+        if not hasattr(self, "_masked_accum_fn"):
+            def body(acc, nbad, loss, grads):
+                ok = jnp.isfinite(loss)
+                acc = jax.tree.map(
+                    lambda a, g: a + jnp.where(ok, g, 0), acc, grads)
+                return acc, nbad + (~ok).astype(jnp.int32)
+            self._masked_accum_fn = jax.jit(body, donate_argnums=(0, 1))
+        return self._masked_accum_fn(acc, nbad, loss, grads)
 
     def _apply_grads(self, params, opt_state, grads):
         if not hasattr(self, "_apply_fn"):
@@ -621,6 +639,10 @@ class System:
                                   np.asarray(jnp.stack(v)), flush=True)
             else:
                 loss, feats, feat_lens = out
+            # once per batch — inside the prompt/attempt loops this
+            # would inflate the reported loss by attempts x prompts
+            # (the reference accumulates per batch, ha/loop.py:278,334)
+            valid_loss += float(loss)
             if i == 0 and not args.quiet:
                 # per-module activation stats on the first eval batch
                 # (monitor hooks equivalent, ha/loop.py:275-282)
@@ -657,8 +679,6 @@ class System:
                                 if sum_ents is not None else
                                 np.zeros(len(hyps)))
                     alis = np.asarray(alis) if alis is not None else None
-
-                    valid_loss += float(loss)
 
                     host_feat_lens = np.asarray(feat_lens)
                     for n in range(len(idxs)):

@@ -94,6 +94,25 @@ def decoder_params_from_state_dict(sd):
     return p
 
 
+def ingest_decoder_params(model):
+    """A checkpoint's ``model`` entry -> our nested Decoder pytree.
+
+    Accepts both native nested pytrees and flat reference torch
+    state-dicts (dotted names, ha/rnnlm.py checkpoints) — the single
+    detection point for every hal-checkpoint consumer (hal resume,
+    hac --lm shallow fusion)."""
+    if isinstance(model, dict) and any('.' in str(k) for k in model):
+        return decoder_params_from_state_dict(model)
+    return jax.tree.map(jnp.asarray, model)
+
+
+def decoder_geometry(params):
+    """(num_layers, hidden_dim) from a Decoder pytree."""
+    w = params["rnn"]
+    layers = sum(1 for k in w if k.startswith("weight_hh_l"))
+    return layers, w["weight_hh_l0"].shape[1]
+
+
 def decoder_init_hidden(num_layers, batch_size, hidden_dim):
     return (jnp.zeros((num_layers, batch_size, hidden_dim)),
             jnp.zeros((num_layers, batch_size, hidden_dim)))

@@ -93,14 +93,25 @@ def _flash_worthwhile(q, k, causal=False):
     back-to-back A/B: 22.1 vs 24.6 ms/step. XLA stays ahead at <=256
     (1.5-2.4 vs 2.1-2.5 ms). Tiny-query shapes (decoder
     cross-attention, U~24) stay on the fused XLA path.
-    HALOOP_FLASH_NC_FLOOR overrides for A/B measurements."""
+    HALOOP_FLASH_NC_FLOOR overrides for A/B measurements.
+
+    Dispatch rides ops.dispatch.use_pallas: TPU only, and on a
+    multi-device GSPMD trace the kernel stays OFF unless inside a
+    shard_map marked force_local — a pallas_call has no partitioning
+    rule, so GSPMD would all-gather the sharded operands and run the
+    attention replicated on every chip."""
     import os
-    if os.environ.get("HALOOP_KERNELS") == "0":
+    from haloop_tpu.ops import dispatch
+    if not dispatch.use_pallas():
         return False
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        # unlike the lattice kernels, flash has no interpret fallback
+        # when force-enabled off-TPU (HALOOP_KERNELS=1 on CPU drives
+        # the lattice tests only)
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
-        on_tpu = False
+        return False
     floor = 256 if causal else int(
         os.environ.get("HALOOP_FLASH_NC_FLOOR", "300"))
-    return on_tpu and q.shape[-2] >= floor and k.shape[-2] >= floor
+    return q.shape[-2] >= floor and k.shape[-2] >= floor

@@ -16,9 +16,9 @@ semantic spec). Design:
   * backward = recompute with the XLA reference path via custom_vjp
     (correct everywhere; kernelized backward is a later optimization).
 
-CPU/debug: ``interpret=True`` path exercised by tests; the public entry
-``flash_attention_or_none`` returns None when the pattern is unsupported
-so callers fall back to the materialized reference.
+CPU/debug: ``interpret=True`` path exercised by tests; dispatch policy
+(floors, single-device/shard_map gating) lives in ops/attention.py
+``_flash_worthwhile`` + ops/dispatch.py ``use_pallas``.
 """
 
 import functools
@@ -575,21 +575,3 @@ def _bwd(causal, t0, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
-def _on_tpu():
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
-def flash_attention_or_none(q, k, v, mask=None):
-    """Adapter used by ops.attention.mha: accept only mask patterns the
-    kernel supports (None); richer callers use ``flash_attention``
-    directly with causal/kv_lengths. Returns None to request fallback."""
-    if mask is not None or not _on_tpu():
-        return None
-    if q.shape[-2] < 128:  # tiny T: XLA fused path is already fine
-        return None
-    N = q.shape[0]
-    kvl = jnp.full((N,), k.shape[-2], jnp.int32)
-    return flash_attention(q, k, v, kvl, False, 0)

@@ -41,8 +41,10 @@ def shard_batch(mesh, batch, axis='data'):
         if getattr(x, 'ndim', 0) >= 1 else x, batch)
 
 
-def global_batch(mesh, x, axis='data'):
-    """Shard a batch's leading axis over ``axis``, multi-host aware.
+def global_batch(mesh, x, axis='data', spec=None):
+    """Shard a batch's leading axis over ``axis`` (or an explicit
+    PartitionSpec ``spec`` for non-leading batch axes), multi-host
+    aware.
 
     Single-process: a plain device_put of the (global) host array.
     Multi-process: each process holds only ITS slice of the global
@@ -50,7 +52,7 @@ def global_batch(mesh, x, axis='data'):
     from per-process local data — the jit step then sees one logical
     batch of size local*process_count, the SPMD analog of DDP's
     per-rank DataLoader shards (ha/attention_loop.py:90-93)."""
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(axis) if spec is None else spec)
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x))

@@ -105,12 +105,8 @@ class System:
                                      args.rnn_size, args.rnn_size,
                                      args.num_layers)
         if ckpt is not None:
-            model = ckpt['model']
-            if isinstance(model, dict) and any('.' in str(k) for k in model):
-                # flat torch state-dict names: a reference hal .pt
-                self.params = R.decoder_params_from_state_dict(model)
-            else:
-                self.params = jax.tree.map(jnp.asarray, model)
+            # native pytree or flat reference hal .pt (models/rnn.py)
+            self.params = R.ingest_decoder_params(ckpt['model'])
 
         self.tx = optax.adamw(args.lr, b1=0.9, b2=0.999,
                               weight_decay=args.wd)
