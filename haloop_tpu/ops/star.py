@@ -50,11 +50,13 @@ def intersperse_stars(log_probs, targets, penalty=0.0):
 
 
 def star_ctc_forward_score(log_probs, targets, input_lengths, target_lengths,
-                           star_penalty=-0.5):
+                           star_penalty=-0.5, animate=False):
     """Per-sequence positive NLL of the star-CTC lattice.
 
     Args mirror ``ctc_forward_score``; ``star_penalty`` is added on every
-    transition entering a star state.
+    transition entering a star state. ``animate=True`` prints the evolving
+    trellis one frame per step (debug parity with ha/star.py:150-152;
+    runs the same stencil eagerly instead of under ``lax.scan``).
     """
     T, N, C = log_probs.shape
     emissions, star_targets = intersperse_stars(log_probs, targets)
@@ -114,6 +116,16 @@ def star_ctc_forward_score(log_probs, targets, input_lengths, target_lengths,
         new = new.at[:, PAD:-1].set(trans + emit_t)
         final = jnp.where(t == t_last, final_score(new), final)
         return (new, final), None
+
+    if animate:
+        import time
+
+        carry = (alpha0, jnp.full((N,), NEG_INF))
+        for t in range(T):
+            carry, _ = step(carry, (emit[t], jnp.int32(t)))
+            print(jnp.asarray(carry[0][min(1, N - 1), PAD:-1]))
+            time.sleep(0.5)
+        return -carry[1]
 
     (alpha, final), _ = jax.lax.scan(
         step, (alpha0, jnp.full((N,), NEG_INF)), (emit, jnp.arange(T)))

@@ -55,3 +55,27 @@ def test_star_grad_finite():
 
     g = jax.grad(loss)(lp)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_star_animate_matches_scan(capsys):
+    """animate=True (eager trellis printing, ha/star.py:150-152) must
+    produce the same scores as the lax.scan path."""
+    import time
+    from unittest import mock
+
+    rng = np.random.default_rng(5)
+    T, N, V, S = 3, 2, 6, 2
+    logits = jnp.asarray(rng.normal(size=(T, N, V)))
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    targets = jnp.asarray(rng.integers(1, V, (N, S)))
+    il = jnp.full((N,), T)
+    tl = jnp.full((N,), S)
+
+    ref = star_ctc_forward_score(log_probs, targets, il, tl)
+    with mock.patch.object(time, "sleep"):
+        ani = star_ctc_forward_score(log_probs, targets, il, tl,
+                                     animate=True)
+    np.testing.assert_allclose(np.asarray(ani), np.asarray(ref),
+                               rtol=1e-6)
+    out = capsys.readouterr().out
+    assert out.count("\n") >= T    # one trellis frame per step
