@@ -163,10 +163,16 @@ def train(root, train, eval, test, args, spin=False, test_attempts=1,
 
 
 def query_hours(ranked_df, max_seconds=10 * 60 * 60):
+    """Take top-ranked rows until the duration budget is crossed (the
+    crossing row is included). Deviation: the reference accumulates the
+    NEXT row's seconds after incrementing (ha/active_loop.py:149-158 —
+    row 0 is never counted and the final row indexes out of range), so
+    its hour budgets overshoot by up to one utterance plus the first
+    row's whole duration; here each included row counts exactly once."""
     end, seconds = 0, 0.0
     while end < len(ranked_df):
+        seconds += ranked_df.iloc[end].seconds
         end += 1
-        seconds += ranked_df.iloc[min(end, len(ranked_df) - 1)].seconds
         if seconds > max_seconds:
             break
     return ranked_df.iloc[:end]
@@ -265,8 +271,13 @@ def perform_egl(args, exp, combined_train, corrupted,
     query = estimate_egl(grad_norms_df)
     print('# writing utterance scores to', exp / 'egl', file=sys.stderr)
     query.to_csv(exp / 'egl', sep='\t', header=False)
-    return prev_corrupted_dataset.set_index('media_filename').merge(
+    merged = prev_corrupted_dataset.set_index('media_filename').merge(
         query, left_index=True, right_index=True)
+    # merge preserves the LEFT (corpus) row order, silently discarding
+    # estimate_egl's descending sort — the reference returns the merge
+    # unsorted (ha/active_loop.py:209-210), so its 'egl' strategy ends
+    # up querying in corpus order; re-rank by EGL as intended
+    return merged.sort_values('product', ascending=False)
 
 
 def log_prob_advantage(neg_log, neg_set, pos_log, pos_set, *,
@@ -339,22 +350,32 @@ def run_step(args, exp, *, prev=None, is_final=False):
             query = prev_corrupted_dataset.copy()
             query['sizes'] = query['text'].str.count(' ') + 1
             query = query.sort_values(by='sizes', ascending=False)
-        case ['entropy']:
+        case ['entropy' | 'prob' as strat]:
+            # deviations from the reference (ha/active_loop.py:246-261):
+            # (a) stats are averaged over decode attempts per utterance
+            #     (the reference keeps one row PER attempt — with
+            #     test_attempts=40 its 'prob' query is 40 duplicate rows
+            #     per utterance and hour budgets sum each utterance 40x;
+            #     its own 'logfile' strategy shows the intended mean);
+            # (b) ranking is restricted to the remaining corrupted pool
+            #     (the reference ranks the FULL oracle set — its own
+            #     '# why oracle?' comment — so later rounds can re-query
+            #     already-cleaned utterances), like every other strategy
             train(exp / 'entropy_prob', combined_train, args.eval,
-                  args.oracle, args)
-            df = pd.concat([oracle, test_log_to_dataset(
-                exp / 'entropy_prob/train.log')], axis=1)
-            query = df.sort_values('entropy_per_token',
-                                   key=lambda x: x.astype(float),
-                                   ascending=False)
-        case ['prob']:
-            train(exp / 'entropy_prob', combined_train, args.eval,
-                  args.oracle, args, seed=args.seed, test_attempts=40)
-            df = pd.concat([oracle, test_log_to_dataset(
-                exp / 'entropy_prob/train.log')], axis=1)
-            query = df.sort_values('log_prob_per_token',
-                                   key=lambda x: -x.astype(float),
-                                   ascending=False)
+                  args.oracle, args,
+                  **(dict(seed=args.seed, test_attempts=40)
+                     if strat == 'prob' else {}))
+            stats = test_log_to_dataset(exp / 'entropy_prob/train.log')
+            stats = stats.groupby(stats.index).mean(numeric_only=True)
+            df = pd.concat([oracle, stats], axis=1)
+            df = df[df['media_filename'].isin(
+                prev_corrupted_dataset['media_filename'])]
+            if strat == 'entropy':    # most-uncertain first
+                query = df.sort_values('entropy_per_token',
+                                       ascending=False)
+            else:                      # least-confident first
+                query = df.sort_values('log_prob_per_token',
+                                       ascending=True)
         case ['spin']:
             train(exp / 'spin', combined_train, args.eval, combined_train,
                   args, spin=True)
@@ -407,18 +428,24 @@ def main():
     args = make_parser().parse_args()
     np.random.seed(args.seed)
 
+    # the LAST step that will actually execute gets is_final (query the
+    # entire remaining pool) — including a --steps 1 run whose only step
+    # is step 0, and runs cut short by --stop-before (the reference only
+    # flags the nominal last step, and never on the step-0 branch)
+    last_step = args.start + args.steps - 1
+    if args.stop_before is not None:
+        last_step = min(last_step, args.stop_before - 1)
     for step in range(args.start, args.start + args.steps):
         if args.stop_before is not None and step >= args.stop_before:
             print('# stopping before', step, file=sys.stderr)
             break
         exp = args.exp / f'{step:02d}'
         if step == 0:
-            train_path = run_step(args, exp)
+            train_path = run_step(args, exp, is_final=step == last_step)
         else:
             prev = args.exp / f'{step - 1:02d}'
             train_path = run_step(args, exp, prev=prev,
-                                  is_final=step == args.start +
-                                  args.steps - 1)
+                                  is_final=step == last_step)
         if args.train:
             train(exp / 'post', train=train_path, eval=args.eval, test=None,
                   args=args)

@@ -17,6 +17,7 @@ snip_edges, preemphasis 0.97, DC removal, power spectrum, mel scale
 1127*ln(1+f/700), low=20Hz high=nyquist, log mel with flooring.
 """
 
+import functools
 import math
 
 import numpy as np
@@ -27,6 +28,7 @@ FRAME_SHIFT = 160           # 10 ms
 NFFT = 512
 
 
+@functools.lru_cache(maxsize=None)
 def povey_window(n=FRAME_LENGTH):
     a = 2 * math.pi / (n - 1)
     return (0.5 - 0.5 * np.cos(a * np.arange(n))) ** 0.85
@@ -40,9 +42,13 @@ def inverse_mel(m):
     return 700.0 * (np.expm1(m / 1127.0))
 
 
+@functools.lru_cache(maxsize=None)
 def mel_filterbank(num_bins=80, nfft=NFFT, sr=SAMPLE_RATE, low_freq=20.0,
                    high_freq=0.0):
-    """Kaldi-style triangular mel filters over fft bins: (nfft//2+1, bins)."""
+    """Kaldi-style triangular mel filters over fft bins: (nfft//2+1, bins).
+
+    Cached (like the DCT matrix below): fbank() sits in the per-utterance
+    dataset-worker hot path and these are constants of the config."""
     if high_freq <= 0:
         high_freq = sr / 2.0 + high_freq
     fft_freqs = np.arange(nfft // 2 + 1) * sr / nfft

@@ -109,8 +109,17 @@ class _Pickler(pickle.Pickler):
 
 
 def _is_array(x):
-    return hasattr(x, "shape") and hasattr(x, "dtype") and \
-        str(getattr(x, "dtype", "")) in _STORAGE_NAMES
+    if not (hasattr(x, "shape") and hasattr(x, "dtype")):
+        return False
+    if str(x.dtype) in _STORAGE_NAMES:
+        return True
+    # an array dtype torch has no storage class for (uint32 PRNG keys,
+    # complex, ...) would silently fall through to a raw numpy pickle,
+    # breaking the torch.load(weights_only=True) contract only at LOAD
+    # time — fail at save time instead
+    raise TypeError(
+        f"cannot write dtype {x.dtype} into a torch .pt archive; "
+        f"convert to one of {sorted(_STORAGE_NAMES)} first")
 
 
 def _convert(obj, storages, by_id):

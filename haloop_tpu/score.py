@@ -44,13 +44,23 @@ def _bucket(n, minimum=16):
 def pack_by_tokens(token_lists, budget, block_size):
     """Greedy in-order packing: yield consecutive runs of token lists
     whose PADDED size (rows x power-of-two width bucket, capped at
-    block_size) stays within ``budget`` tokens."""
+    block_size) stays within ``budget`` tokens.
+
+    Flushes emit a power-of-two row-count prefix and carry the rest
+    forward, so row counts come from a log-sized set and the jitted
+    scorer compiles O(log B x log W) programs — on unsorted input an
+    arbitrary-size flush per width change would compile a fresh program
+    for every distinct (rows, width) pair. Only the final tail (and a
+    rare over-budget carry) may be ragged."""
     batch, widest = [], 0
     for t in token_lists:
         w = _bucket(max(widest, len(t), 16))
-        if batch and (len(batch) + 1) * min(w, block_size) > budget:
-            yield batch
-            batch, widest = [], 0
+        while batch and (len(batch) + 1) * min(w, block_size) > budget:
+            keep = 1 << (len(batch).bit_length() - 1)
+            yield batch[:keep]
+            batch = batch[keep:]
+            widest = max((len(x) for x in batch), default=0)
+            w = _bucket(max(widest, len(t), 16))
         batch.append(t)
         widest = max(widest, len(t))
     if batch:

@@ -76,3 +76,57 @@ def test_query_hours(tmp_path, data):
     clean = pd.read_csv(exp / "clean.txt.piece", sep="\t",
                         names=["utt", "text"])
     assert 1 <= len(clean) <= 30
+
+
+def test_query_hours_budget_accounting():
+    """Each included row's seconds count exactly once (the reference
+    skips row 0 and look-ahead-adds the next row,
+    ha/active_loop.py:149-158)."""
+    from haloop_tpu.active_loop import query_hours
+    df = pd.DataFrame({"seconds": [100.0, 1.0, 1.0, 100.0, 1.0]})
+    out = query_hours(df, max_seconds=50)
+    # row 0 alone crosses the 50s budget and is included; nothing more
+    assert len(out) == 1
+    out = query_hours(df, max_seconds=101)
+    assert len(out) == 3          # 100+1 <= 101, +1 crosses at 102
+    # budget larger than the whole set: everything, no IndexError
+    assert len(query_hours(df, max_seconds=1e9)) == 5
+
+
+def test_egl_merge_keeps_ranking():
+    """perform_egl's corpus merge must preserve the EGL descending
+    order (merge returns LEFT-order rows; the reference forgets to
+    re-sort, ha/active_loop.py:209-210)."""
+    prev = pd.DataFrame({
+        "media_filename": ["d", "a", "c", "b"],
+        "text": ["t"] * 4,
+    })
+    egl = pd.Series([9.0, 5.0, 1.0], index=pd.Index(
+        ["c", "b", "a"], name="media_filename"), name="product")
+    merged = prev.set_index("media_filename").merge(
+        egl, left_index=True, right_index=True)
+    ranked = merged.sort_values("product", ascending=False)
+    assert list(ranked.index) == ["c", "b", "a"]
+    # and the un-sorted merge really is corpus-ordered (the trap)
+    assert list(merged.index) == ["a", "c", "b"]
+
+
+def test_final_step_queries_whole_pool(tmp_path, data):
+    """--steps 1 runs its only step as the final one: the query takes
+    the entire remaining pool, not --query-size."""
+    oracle, corrupted, durations = data
+    args = make_parser().parse_args([
+        "--oracle", str(oracle), "--initial-corrupted", str(corrupted),
+        "--eval", str(oracle), "--duration", str(durations),
+        "--query-size", "6", "--exp", str(tmp_path / "exp"),
+        "--steps", "1", "random"])
+    from haloop_tpu.active_loop import main
+    import sys
+    from unittest import mock
+    with mock.patch.object(sys, "argv", ["active_loop"]), \
+            mock.patch("haloop_tpu.active_loop.make_parser") as mp:
+        mp.return_value.parse_args.return_value = args
+        main()
+    clean = pd.read_csv(tmp_path / "exp" / "00" / "clean.txt.piece",
+                        sep="\t", names=["utt", "text"])
+    assert len(clean) == 30       # whole pool, is_final on step 0

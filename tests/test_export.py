@@ -215,3 +215,13 @@ def test_gpt_export_loads_in_reference_model(tmp_path):
     jlogits = G.lm_logits(params, x)[:, -1:, :]
     np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_save_pt_rejects_unsupported_dtype(tmp_path):
+    """Arrays torch has no storage class for must fail at SAVE time,
+    not as an UnpicklingError at torch.load(weights_only=True)."""
+    import pytest
+    from haloop_tpu.pt_saver import save_pt
+    with pytest.raises(TypeError, match="uint32"):
+        save_pt(tmp_path / "bad.pt",
+                {"rng": np.zeros((2,), dtype=np.uint32)})

@@ -80,3 +80,25 @@ def test_packed_forward_matches_unpacked():
                 reduction='none'))[0]
             np.testing.assert_allclose(packed[r, start:start + n], want,
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_pack_by_tokens_bounded_programs():
+    """On UNSORTED input, flush row counts must come from a log-sized
+    set (power-of-two prefixes with carry) so the jitted scorer
+    compiles O(log B x log W) programs, not one per flush size; order
+    and coverage are exact and padded batches respect the budget."""
+    from haloop_tpu.score import pack_by_tokens, _bucket
+
+    rng = np.random.default_rng(0)
+    lists = [list(range(rng.integers(1, 200))) for _ in range(2000)]
+    batches = list(pack_by_tokens(lists, 4096, 1024))
+
+    assert [t for b in batches for t in b] == lists
+    for b in batches[:-1]:
+        assert len(b) & (len(b) - 1) == 0, len(b)   # power of two
+    shapes = set()
+    for b in batches:
+        w = min(_bucket(max(max(len(t) for t in b), 16)), 1024)
+        assert len(b) * w <= 4096 or len(b) == 1
+        shapes.add((len(b), w))
+    assert len(shapes) <= 8, shapes
