@@ -45,8 +45,18 @@ def load_audio(path):
         width = w.getsampwidth()
         channels = w.getnchannels()
         raw = w.readframes(n)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 3:
+        # 24-bit PCM: sign-extend 3 little-endian bytes per sample
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        data = (b[:, 0].astype(np.int32) |
+                (b[:, 1].astype(np.int32) << 8) |
+                (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+                ).astype(np.float32)
+    elif width in (1, 2, 4):
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} in {path}")
     if width == 1:
         data = (data - 128.0) / 128.0
     else:

@@ -137,7 +137,9 @@ def speed_perturb(wav, rng, factors=(0.95, 0.98, 1.0, 1.02, 1.05)):
     from scipy.signal import resample_poly
     up, down = {0.95: (20, 19), 0.98: (50, 49), 1.02: (49, 50),
                 1.05: (19, 20)}[f]
-    return resample_poly(wav, up, down).astype(np.float32)
+    # time is the LAST axis: load_audio yields (channels, samples);
+    # the scipy default (axis=0) would "resample" the channel axis
+    return resample_poly(wav, up, down, axis=-1).astype(np.float32)
 
 
 def mask_along_axis(frames, rng, mask_param, axis):

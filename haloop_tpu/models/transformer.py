@@ -276,11 +276,18 @@ def decoder_decode(p, cfg, features, input_lengths, target_lengths,
 
         new_k, new_v = self_k, self_v
         for layer, block in enumerate(p["h"]):
+            kl = (jax.random.fold_in(kt, layer)
+                  if kt is not None else None)
+            k0_, k1_, k2_ = ((None, None, None) if kl is None
+                             else tuple(jax.random.split(kl, 3)))
             x_norm = layer_norm(block["ln_time"], y)
             mk, mv = mem_kv[layer]
             m, _ = _cached_attend(block["mix_memory"], x_norm, mk, mv,
                                   heads, mem_mask)
-            y = y + m
+            # cross-attn output dropout, matching the training forward
+            # (mha_apply) — test-time-dropout decode (train=True) must
+            # sample the same stochastic model the loss was trained on
+            y = y + dropout(k0_, m, p_drop, not train)
             # self-attention against the growing cache
             q = _split_heads(linear(block["mix_time"]["q"], x_norm), heads)
             q = rotate_interleaved(q, t0=t)
@@ -293,10 +300,6 @@ def decoder_decode(p, cfg, features, input_lengths, target_lengths,
                 new_v, v1[None], (layer, 0, 0, t, 0))
             smask = (jnp.arange(T)[None, :] > t)[None, None, :, :]
             att, _ = attend(q, new_k[layer], new_v[layer], mask=smask)
-            kl = (jax.random.fold_in(kt, layer)
-                  if kt is not None else None)
-            k1_, k2_ = ((None, None) if kl is None
-                        else tuple(jax.random.split(kl)))
             y = y + dropout(k1_, linear(block["mix_time"]["proj"],
                                         _merge_heads(att)), p_drop,
                             not train)

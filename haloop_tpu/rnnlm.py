@@ -14,6 +14,11 @@ models/rnn LSTM step under lax.scan with top-k.
 
 Fixed vs reference (SURVEY.md §7 quirks): ``complete`` no longer
 references undefined ``topk``/``joiner`` (ha/rnnlm.py:146-147).
+
+Deliberate deviation: wandb metrics are logged every --log-interval
+steps alongside the printed line, not every step as in the reference
+(ha/rnnlm.py:261-264) — per-step logging would pay one queue-
+synchronizing loss fetch per step on tunneled backends.
 """
 
 import math
@@ -107,6 +112,15 @@ class System:
         if ckpt is not None:
             # native pytree or flat reference hal .pt (models/rnn.py)
             self.params = R.ingest_decoder_params(ckpt['model'])
+            # adopt the checkpoint's geometry: the reference fails its
+            # strict load on a --rnn-size mismatch; silently tracing
+            # with the wrong dims would only blow up later inside jit
+            layers, dim = R.decoder_geometry(self.params)
+            if (layers, dim) != (self.num_layers, self.hidden_dim):
+                print(f'checkpoint geometry {layers}x{dim} overrides '
+                      f'--num-layers {self.num_layers} / '
+                      f'--rnn-size {self.hidden_dim}', file=sys.stderr)
+                self.num_layers, self.hidden_dim = layers, dim
 
         self.tx = optax.adamw(args.lr, b1=0.9, b2=0.999,
                               weight_decay=args.wd)
@@ -146,10 +160,15 @@ class System:
             valid = targets != 0
             loss = jnp.sum(jnp.where(valid, nll, 0.0)) / \
                 jnp.maximum(jnp.sum(valid), 1)
-            return loss, new_state
+            # last-position logits of stream 0, for the --hyp/--chunk
+            # continuation viz: the next-token distribution the model
+            # holds after consuming ALL of inputs. Re-feeding inputs[-1]
+            # through new_state would consume that token twice (the
+            # reference samples from the training-forward logits too)
+            return loss, (new_state, logits[-1, 0])
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn,
-                                                      has_aux=True)(params)
+        (loss, (new_state, last_logits)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
         gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
                              for g in jax.tree.leaves(grads)))
         scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-6))
@@ -157,7 +176,7 @@ class System:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         new_state = R.truncate_hidden(new_state)
-        return params, opt_state, new_state, loss, gnorm
+        return params, opt_state, new_state, loss, gnorm, last_logits
 
     # ------------------------------------------------------------ sample
 
@@ -187,8 +206,19 @@ class System:
         return prompt_bits_per_token, out
 
     def sample(self, logits, state, steps=512, top_k=1):
+        """Top-k sampling under ONE jitted lax.scan: the whole
+        continuation is a single dispatch and a single host fetch (the
+        eager per-token loop paid one queue-synchronizing fetch per
+        token — ~30 ms each on tunneled backends, >15 s per 512-token
+        completion)."""
         if steps <= 0:
             return type(self.vocab.id_to_string.get(0)) is bytes and b'' or ''
+
+        self.key, k = jax.random.split(self.key)
+        ids = np.asarray(self._run_sample_scan(
+            jnp.asarray(np.asarray(logits)[-1]), state, k,
+            int(steps), int(top_k))).tolist()
+
         out_list = []
         joiner = ''
 
@@ -202,25 +232,37 @@ class System:
                 return s
             return s
 
-        logits = np.asarray(logits)[-1]
-
-        def pick(logits):
-            self.key, k = jax.random.split(self.key)
-            l = jnp.asarray(logits)
-            if top_k:
-                kth = jnp.sort(l)[-top_k]
-                l = jnp.where(l < kth, -jnp.inf, l)
-            return int(jax.random.categorical(k, l))
-
-        ix = pick(logits)
-        out_list.append(cast(self.vocab.id_to_string[ix]))
-        x = np.array([[ix]], np.int64)
-        for _ in range(steps - 1):
-            logits, state = self._forward_tokens(jnp.asarray(x), state)
-            ix = pick(np.asarray(logits)[-1])
+        for ix in ids:
             out_list.append(cast(self.vocab.id_to_string[ix]))
-            x = np.array([[ix]], np.int64)
         return joiner.join(out_list)
+
+    def _run_sample_scan(self, l0, state, key, steps, top_k):
+        if not hasattr(self, "_sample_cache"):
+            self._sample_cache = {}
+        ck = (steps, top_k)
+        if ck not in self._sample_cache:
+            def body(params, l0, state, key):
+                def pick(k, l):
+                    if top_k:
+                        kth = jnp.sort(l)[-top_k]
+                        l = jnp.where(l < kth, -jnp.inf, l)
+                    return jax.random.categorical(k, l)
+
+                def step(carry, k):
+                    l, st = carry
+                    ix = pick(k, l)
+                    logits, st = R.decoder_apply(
+                        params, ix.astype(jnp.int32)[None, None], st,
+                        num_layers=self.num_layers)
+                    return (logits.reshape(-1).astype(jnp.float32), st), ix
+
+                keys = jax.random.split(key, steps)
+                _, ids = jax.lax.scan(step, (l0.astype(jnp.float32), state),
+                                      keys)
+                return ids
+
+            self._sample_cache[ck] = jax.jit(body)
+        return self._sample_cache[ck](self.params, l0, state, key)
 
     # ------------------------------------------------------------- train
 
@@ -237,9 +279,9 @@ class System:
             prompt = batch[-1:]
 
             self.key, k = jax.random.split(self.key)
-            (self.params, self.opt_state, state, loss,
-             grad_norm) = self._train_step(self.params, self.opt_state,
-                                           state, inputs, batch, k)
+            (self.params, self.opt_state, state, loss, grad_norm,
+             last_logits) = self._train_step(self.params, self.opt_state,
+                                             state, inputs, batch, k)
 
             if i % self.log_interval == 0:
                 # ONE stacked fetch: each value fetch synchronizes the
@@ -272,10 +314,11 @@ class System:
                         rprint(f"[cyan]{matched}[/cyan]"
                                f"[magenta]{delete}[/magenta]{insert}",
                                end='')
-                    logits, _ = self._forward_tokens(
-                        inputs[-1:, :1], jax.tree.map(
-                            lambda h: h[:, :1], state))
-                    hyp = self.sample(logits, jax.tree.map(
+                    # sample from the train step's OWN last-position
+                    # logits (stream 0): state has already consumed
+                    # inputs[-1], so re-feeding it would double-count
+                    # that token and skew the first sampled char
+                    hyp = self.sample(last_logits[None], jax.tree.map(
                         lambda h: h[:, :1], state),
                         steps=self.args.bptt_len, top_k=self.args.top_k)
                 else:

@@ -167,3 +167,40 @@ def test_mfcc_matches_independent_oracle():
     lift = 1.0 + 0.5 * 22.0 * np.sin(np.pi * np.arange(nc) / 22.0)
     want = want * lift[None, :]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_speed_perturb_resamples_time_axis():
+    """load_audio yields (channels, samples); speed perturbation must
+    resample TIME (the last axis), not channels — the scipy default
+    axis=0 silently no-opped for f>1 and duplicated the mono channel
+    into filtered garbage for f<1."""
+    w2d = np.random.default_rng(0).normal(size=(1, 16000)) \
+        .astype(np.float32)
+    rng = np.random.default_rng(3)
+    seen = set()
+    for _ in range(30):
+        out = features.speed_perturb(w2d, rng)
+        assert out.shape[0] == 1, out.shape
+        assert 15000 < out.shape[1] < 17000, out.shape
+        seen.add(out.shape[1])
+    assert len(seen) > 1      # factors actually vary the length
+
+
+def test_load_audio_24bit_pcm(tmp_path):
+    import struct
+    import wave
+
+    from haloop_tpu.data import load_audio
+
+    sig = (np.sin(np.arange(1600) * 0.05) * (2 ** 22)).astype(np.int32)
+    raw = b"".join(struct.pack("<i", int(s))[:3] for s in sig)
+    path = tmp_path / "w24.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw)
+    data, sr = load_audio(str(path))
+    assert data.shape == (1, 1600) and sr == 16000
+    np.testing.assert_allclose(data[0], sig / 2 ** 23, atol=1e-7)
+    assert data.min() < -0.4      # sign extension preserved
