@@ -487,10 +487,13 @@ def load_model(ckpt_path, **_):
 
 def average_params(trees):
     """SWA-style parameter averaging across checkpoints
-    (ha/init.py:292-306)."""
+    (ha/init.py:292-306). Accumulate in HOST float64 (np.asarray —
+    jnp.astype(float64) silently yields float32 under the default x64
+    config) and round once, at mean magnitude, after dividing."""
     n = len(trees)
-    return jax.tree.map(lambda *xs: sum(x.astype(np.float64) for x in xs)
-                        .astype(xs[0].dtype) / n, *trees)
+    return jax.tree.map(
+        lambda *xs: (sum(np.asarray(x, np.float64) for x in xs) / n)
+        .astype(np.asarray(xs[0]).dtype), *trees)
 
 
 class Initializer:
@@ -518,7 +521,9 @@ class Initializer:
             log("initializing uk4b model")
         elif args.init:
             spec = create_model(args.arch, compile=False)
-            params = spec.init(key)
+            # no random init here: the checkpoint(s) fully define the
+            # params below — for 100M+-param archs spec.init would be
+            # seconds of discarded device work on every resume
             loaded = []
             ckpt = None
             for path in args.init:

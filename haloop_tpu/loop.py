@@ -91,6 +91,11 @@ class System:
         # batches that don't divide the mesh fall back to plain GSPMD
         # jit (replicated-correct, kernel-less).
         self._sharded_cache = {}
+        # --allow-oom trades memory for survivability: donated buffers
+        # are deleted on call entry, so after a mid-step OOM the old
+        # params would be gone and every later batch would fail too —
+        # keep inputs alive when the loop intends to catch and continue
+        self._donate = () if getattr(args, 'allow_oom', False) else (0, 1)
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
@@ -110,7 +115,7 @@ class System:
                           in_specs=(R, R, B, B, B, B, R, R),
                           out_specs=(R, R, R, R, R),
                           check_vma=False),
-                donate_argnums=(0, 1))
+                donate_argnums=self._donate)
             # ragged fallback (donation off: params must survive for
             # the sharded step's buffers)
             self._train_step_ragged = jax.jit(self._train_step_impl)
@@ -132,7 +137,7 @@ class System:
                           out_specs=(R, R), check_vma=False))
         else:
             self._train_step = jax.jit(self._train_step_impl,
-                                       donate_argnums=(0, 1))
+                                       donate_argnums=self._donate)
             self._train_step_ragged = self._train_step
         self._micro_grads_ragged = jax.jit(
             jax.value_and_grad(self._micro_loss))
@@ -142,6 +147,7 @@ class System:
         self._decode = jax.jit(self._decode_impl,
                                static_argnames=("max_steps", "train"))
         self._score_step = jax.jit(self._score_impl)
+        self._encode = jax.jit(self._encode_impl)
 
     def _divides_mesh(self, n):
         return self.mesh is not None and n % self.mesh.devices.size == 0
@@ -376,6 +382,25 @@ class System:
             drop_labels=False, train=False)
         return loss
 
+    def _encode_impl(self, params, inputs, input_lengths):
+        """Encoder features only (the hac --score front half), on the
+        same compute path as _forward_impl: jitted, with the bf16
+        compute cast and the device-fbank option."""
+        if getattr(self.args, 'device_fbank', False):
+            from haloop_tpu.features import fbank_jax
+            inputs, input_lengths = fbank_jax(
+                inputs[..., 0].astype(jnp.float32), input_lengths)
+        enc_params = params["encoder"]
+        if self.args.dtype == "bfloat16":
+            enc_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                enc_params)
+            inputs = inputs.astype(jnp.bfloat16)
+        feats, feat_lens, _ = self.spec.encoder.apply(
+            enc_params, inputs, input_lengths, train=False)
+        return feats.astype(jnp.float32), feat_lens
+
     def next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
@@ -439,8 +464,7 @@ class System:
                     if self.mesh is not None and \
                             len(inputs) % self.mesh.devices.size:
                         step_fn = self._train_step_ragged
-                    (self.params, self.opt_state, loss, grad_norm,
-                     bad) = step_fn(
+                    out = step_fn(
                         self.params, self.opt_state, inputs, condtargets,
                         input_lengths, condtarget_lengths, step_key,
                         jnp.int32(global_step))
@@ -449,8 +473,12 @@ class System:
                     # this branch used to pay three per iteration
                     # (loss, bad, grad_norm)
                     loss, grad_norm, bad = np.asarray(jnp.stack(
-                        [loss, grad_norm,
-                         bad.astype(jnp.float32)])).tolist()
+                        [out[2], out[3],
+                         out[4].astype(jnp.float32)])).tolist()
+                    # commit only after the fetch succeeded: an OOM
+                    # surfaces AT the fetch, and with --allow-oom
+                    # (donation off) the old state must stay bound
+                    self.params, self.opt_state = out[0], out[1]
                     if bad:
                         log(f'[{epoch}, {global_step:5d}], loss or grad_norm '
                             f'is not finite, skipping batch', flush=True)
@@ -471,18 +499,26 @@ class System:
                     if acc_grads is None:
                         acc_grads = jax.tree.map(jnp.zeros_like, grads)
                         acc_nbad = jnp.int32(0)
-                    acc_grads, acc_nbad = self._run_masked_accum(
-                        acc_grads, acc_nbad, loss, grads)
+                        acc_loss = jnp.float32(0)
+                    acc_grads, acc_nbad, acc_loss = self._run_masked_accum(
+                        acc_grads, acc_nbad, acc_loss, loss, grads)
                     accum += 1
                     if accum % args.accumulate:
                         continue
-                    (self.params, self.opt_state, grad_norm,
-                     bad) = self._apply_grads(
+                    out = self._apply_grads(
                         self.params, self.opt_state, acc_grads)
-                    acc_grads = None
                     loss, grad_norm, bad, nbad = np.asarray(jnp.stack(
-                        [loss, grad_norm, bad.astype(jnp.float32),
+                        [acc_loss, out[2], out[3].astype(jnp.float32),
                          acc_nbad.astype(jnp.float32)])).tolist()
+                    self.params, self.opt_state = out[0], out[1]
+                    acc_grads = None
+                    # the update's mean batch loss (micro losses are
+                    # pre-divided by accumulate; undo that and average
+                    # over the finite micro-batches) — matches what the
+                    # fused branch logs, instead of the last
+                    # micro-batch's divided loss
+                    ngood = max(args.accumulate - int(nbad), 1)
+                    loss = loss * args.accumulate / ngood
                     if nbad:
                         log(f'[{epoch}, {global_step:5d}], {int(nbad)} '
                             f'micro-batch(es) had non-finite loss, '
@@ -509,22 +545,27 @@ class System:
             local_step += 1
 
             train_loss += loss / args.log_interval
-            if local_step % args.log_interval:
-                continue
+            if local_step % args.log_interval == 0:
+                t1 = time.time()
+                log(f'[{epoch}, {global_step:5d}] time: {t1 - t0:.3f} '
+                    f'loss: {train_loss:.3f} grad_norm: {grad_norm:.3f} '
+                    f'lr: {lr:.5f}', flush=True)
+                wandb.log({'train/loss': train_loss,
+                           'train/grad_norm': grad_norm,
+                           'train/lr': lr, 'iter': global_step})
+                t0 = t1
+                train_loss = 0.0
 
-            t1 = time.time()
-            log(f'[{epoch}, {global_step:5d}] time: {t1 - t0:.3f} '
-                f'loss: {train_loss:.3f} grad_norm: {grad_norm:.3f} '
-                f'lr: {lr:.5f}', flush=True)
-            wandb.log({'train/loss': train_loss, 'train/grad_norm': grad_norm,
-                       'train/lr': lr, 'iter': global_step})
-            t0 = t1
-            train_loss = 0.0
-
+            # mid-epoch eval fires on ITS OWN schedule. The reference
+            # nests this under the log gate (ha/loop.py:199-209), so
+            # its --evaluate-every silently rounds up to
+            # lcm(log_interval, evaluate_every); fixed deliberately,
+            # like hala's eval-interval
             if local_step % args.evaluate_every == 0:
                 self.evaluate(epoch, valid_loader, attempts=1)
 
-            if lr == 0 and global_step > 10:
+            if lr == 0 and global_step > 10 and \
+                    local_step % args.log_interval == 0:
                 log(f'[{epoch}, {global_step:5d}] lr is zero, stopping',
                     flush=True)
                 break
@@ -553,20 +594,22 @@ class System:
                                         input_lengths, condtarget_lengths,
                                         key)
 
-    def _run_masked_accum(self, acc, nbad, loss, grads):
+    def _run_masked_accum(self, acc, nbad, loss_sum, loss, grads):
         """Accumulate one micro-batch of gradients on device, masking
-        out non-finite micro-losses (zero contribution) and counting
-        them — keeps the NaN gate without a per-micro-batch host sync
-        (reference semantics: the skipped backward leaves its
-        pre-divided term out, ha/loop.py:167-181)."""
+        out non-finite micro-losses (zero contribution), counting them,
+        and summing the finite losses — keeps the NaN gate without a
+        per-micro-batch host sync (reference semantics: the skipped
+        backward leaves its pre-divided term out, ha/loop.py:167-181)."""
         if not hasattr(self, "_masked_accum_fn"):
-            def body(acc, nbad, loss, grads):
+            def body(acc, nbad, loss_sum, loss, grads):
                 ok = jnp.isfinite(loss)
                 acc = jax.tree.map(
                     lambda a, g: a + jnp.where(ok, g, 0), acc, grads)
-                return acc, nbad + (~ok).astype(jnp.int32)
-            self._masked_accum_fn = jax.jit(body, donate_argnums=(0, 1))
-        return self._masked_accum_fn(acc, nbad, loss, grads)
+                return (acc, nbad + (~ok).astype(jnp.int32),
+                        loss_sum + jnp.where(ok, loss, 0.0))
+            self._masked_accum_fn = jax.jit(
+                body, donate_argnums=self._donate and (0, 1, 2))
+        return self._masked_accum_fn(acc, nbad, loss_sum, loss, grads)
 
     def _apply_grads(self, params, opt_state, grads):
         if not hasattr(self, "_apply_fn"):
@@ -590,7 +633,7 @@ class System:
                 new_params, new_opt = jax.lax.cond(
                     bad, lambda _: (params, opt_state), apply, None)
                 return new_params, new_opt, enc_norm, bad
-            self._apply_fn = jax.jit(f, donate_argnums=(0, 1))
+            self._apply_fn = jax.jit(f, donate_argnums=self._donate)
         return self._apply_fn(params, opt_state, grads)
 
     # ----------------------------------------------------------- evaluate
@@ -811,8 +854,8 @@ class System:
               attempts=1):
         for (idxs, inputs, condtargets1, input_lengths,
              condtarget_lengths1) in loader:
-            feats, feat_lens, _ = self.spec.encoder.apply(
-                self.params["encoder"], inputs, input_lengths, train=False)
+            feats, feat_lens = self._encode(self.params, inputs,
+                                            input_lengths)
             for _ in range(attempts):
                 for prompt in prompts:
                     if prompt is not None:
@@ -849,6 +892,13 @@ class System:
             'encoder': jax.tree.map(jnp.asarray, ckpt['encoder']),
             'recognizer': jax.tree.map(jnp.asarray, ckpt['recognizer']),
         }
+        self.load_optimizer_state(ckpt)
+
+    def load_optimizer_state(self, ckpt):
+        """Resume just the optimizer moments (params come from the
+        Initializer, which already handled SWA averaging and whose
+        result may be mesh-replicated — overwriting them here would
+        clobber both)."""
         if 'optimizer' in ckpt and ckpt['optimizer'] is not None:
             try:
                 self.opt_state = jax.tree.map(
@@ -966,10 +1016,15 @@ def main():
 
     (spec, params), epoch, global_step = Initializer()(args)
     system = System(args, spec, params, vocab)
-    if args.init:
+    if args.init and len(args.init) == 1:
+        # single-checkpoint resume also restores the optimizer moments
+        # (the reference's System.load_state_dict, ha/loop.py:99-102);
+        # params are NOT reloaded — the Initializer already provided
+        # them (possibly SWA-averaged over several --init checkpoints,
+        # possibly mesh-replicated by System)
         ckpt = load_checkpoint(args.init[0])
         if 'encoder' in ckpt:
-            system.load_state_dict(ckpt)
+            system.load_optimizer_state(ckpt)
 
     if (args.train or args.wandb) and is_master():
         wandb.init(project='ha', config=vars(args), name=str(args.exp))

@@ -277,7 +277,10 @@ def forward(p, cfg, input_ids, past=None):
     """Last-token logits + updated cache (reference ha/attention.py:254-281)."""
     t0 = past[0]["length"] if past is not None else 0
     if past is None:
-        past = init_cache(cfg, input_ids.shape[0])
+        # cache dtype must match the params' k/v activations —
+        # dynamic_update_slice rejects a float32 cache under bf16 params
+        past = init_cache(cfg, input_ids.shape[0],
+                          dtype=p["lm_head"]["weight"].dtype)
     x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
     logits = linear(p["lm_head"], x[:, -1:, :])
     return logits, presents
@@ -337,7 +340,9 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
     assert B == 1, "speculative decoding is a single-stream path"
     K = draft_len
     cache = init_cache(cfg, 1, dtype=p["lm_head"]["weight"].dtype)
-    logits, cache = forward(p, cfg, input_ids, past=cache)
+    # jitted prefill: a bare forward() here would dispatch the whole
+    # trunk op-by-op once per prompt (hundreds of device calls)
+    logits, cache = _spec_prefill_jit(cfg)(p, input_ids, cache)
     cur = int(jnp.argmax(logits[0, -1]))
 
     # params must be a TRACED argument (closing over them would bake
@@ -366,6 +371,11 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
 def _spec_verify_jit(cfg):
     return jax.jit(lambda p, toks, cache:
                    speculative_verify(p, cfg, toks, cache))
+
+
+@functools.lru_cache(maxsize=8)
+def _spec_prefill_jit(cfg):
+    return jax.jit(lambda p, ids, cache: forward(p, cfg, ids, past=cache))
 
 
 def _prompt_lookup_draft(hist, K, ngram=2):

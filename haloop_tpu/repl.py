@@ -70,7 +70,14 @@ def main():
                   file=sys.stderr)
             raise
 
-    readline.parse_and_bind('bind -v')
+    # vi editing under BOTH line editors: GNU readline (Linux) wants
+    # inputrc syntax and silently ignores the editline string; libedit
+    # (macOS stdlib readline) is the reverse (reference uses the
+    # libedit form only, ha/attention.py:357-365)
+    if 'libedit' in (getattr(readline, '__doc__', '') or ''):
+        readline.parse_and_bind('bind -v')
+    else:
+        readline.parse_and_bind('set editing-mode vi')
     histfile = args.histfile
     try:
         readline.read_history_file(histfile)
