@@ -21,7 +21,7 @@ def bucket_length(n, buckets):
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1] if buckets and n <= buckets[-1] else _round_up(n, 128)
+    return _round_up(n, 128)
 
 
 def _round_up(n, m):
@@ -110,7 +110,19 @@ class DataLoader:
 
     def _index_batches(self):
         if self.batch_sampler is not None:
-            yield from self.batch_sampler
+            # the sampler path honors the same epoch/multi-host
+            # contract as the index path: bump its epoch (else a
+            # shuffling DurationBatchSampler repeats epoch-0's order
+            # forever) and give each process a disjoint, equal-count
+            # slice of the batch stream
+            if hasattr(self.batch_sampler, 'set_epoch'):
+                self.batch_sampler.set_epoch(self.epoch)
+            batches = list(self.batch_sampler)
+            if self.process_shard is not None:
+                pi, pc = self.process_shard
+                if pc > 1:
+                    batches = batches[pi::pc][:len(batches) // pc]
+            yield from batches
             return
         indices = self._indices()
         for i in range(0, len(indices), self.batch_size):
@@ -121,7 +133,10 @@ class DataLoader:
 
     def __len__(self):
         if self.batch_sampler is not None:
-            return sum(1 for _ in self.batch_sampler)
+            n = sum(1 for _ in self.batch_sampler)
+            if self.process_shard is not None and self.process_shard[1] > 1:
+                n //= self.process_shard[1]
+            return n
         n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size

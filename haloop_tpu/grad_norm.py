@@ -50,10 +50,13 @@ def make_per_sample_loss(system):
 
 
 def gradient_norms(system, inputs, condtargets, input_lengths,
-                   condtarget_lengths, key):
+                   condtarget_lengths, key, params=None):
     """(norms (N,), losses (N,)) — one backward per sample, batched by
-    vmap, run as one jitted program."""
+    vmap, run as one jitted program. Pass ``params`` explicitly when
+    calling under jit (avoids closure-baking them as constants)."""
     loss_fn = make_per_sample_loss(system)
+    if params is None:
+        params = system.params
 
     def single(params, x, t, il, tl, k):
         return jax.value_and_grad(loss_fn)(
@@ -61,7 +64,7 @@ def gradient_norms(system, inputs, condtargets, input_lengths,
 
     keys = jax.random.split(key, inputs.shape[0])
     losses, grads = jax.vmap(single, in_axes=(None, 0, 0, 0, 0, 0))(
-        system.params, inputs, condtargets, input_lengths,
+        params, inputs, condtargets, input_lengths,
         condtarget_lengths, keys)
     flat = jax.tree.leaves(grads)
     per_leaf = jnp.stack([norm_batched(g) for g in flat], axis=1)  # (N, L)
@@ -69,12 +72,17 @@ def gradient_norms(system, inputs, condtargets, input_lengths,
 
 
 def compute_grad_norm(system, loader):
-    jitted = jax.jit(lambda inputs, ct, il, tl, key: gradient_norms(
-        system, inputs, ct, il, tl, key))
+    # params are a TRACED argument: a closure would bake every param
+    # leaf into the executable as constants — a full extra model copy
+    # in HBM per compiled (T, U) bucket shape
+    jitted = jax.jit(lambda params, inputs, ct, il, tl, key:
+                     gradient_norms(system, inputs, ct, il, tl, key,
+                                    params=params))
     for idxs, inputs, condtargets, input_lengths, condtarget_lengths \
             in loader:
-        norms, losses = jitted(inputs, condtargets, input_lengths,
-                               condtarget_lengths, system.next_key())
+        norms, losses = jitted(system.params, inputs, condtargets,
+                               input_lengths, condtarget_lengths,
+                               system.next_key())
         norms = np.asarray(norms)
         losses = np.asarray(losses)
         for i in range(len(idxs)):

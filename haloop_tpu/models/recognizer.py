@@ -256,7 +256,10 @@ def transducer_greedy_decode(p, features, input_lengths, *, lm_layers=2,
     init = (jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), g0,
             state0, jnp.zeros((N, max_symbols), jnp.int32),
             jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32),
-            jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool))
+            jnp.zeros((N,), jnp.int32),
+            # zero-length rows (ragged-batch padding) start done: tick 0
+            # would otherwise read clipped frame 0 and may emit a token
+            input_lengths < 1)
     (t, u, g, state, hyps, score, sum_ent, ticks, done), _ = jax.lax.scan(
         tick, init, None, length=step_budget)
     # scale so -sum_ent/hyp_len reads as MEAN per-tick entropy (bits)

@@ -209,7 +209,9 @@ def multilayer_lstm(p, x, state=None, num_layers=1, hidden_size=None,
         out, h, c = _single_layer(p, layer, out, h0[layer], c0[layer])
         hs.append(h)
         cs.append(c)
-        if dropout > 0.0 and layer < num_layers - 1 and not deterministic:
+        if dropout > 0.0 and layer < num_layers - 1 and not deterministic \
+                and dropout_key is not None:
+            # keyless train calls no-op, like dropout_fn itself
             out = dropout_fn(jax.random.fold_in(dropout_key, layer), out,
                              dropout, deterministic)
     return out, (jnp.stack(hs), jnp.stack(cs))

@@ -29,15 +29,25 @@ def logaddexp(a, b):
     return m + math.log1p(math.exp(min(a, b) - m))
 
 
+class _PendingLM:
+    """A not-yet-run LM advance: (parent state, token). Materialized
+    only for prefixes that survive beam pruning."""
+
+    __slots__ = ("parent", "token")
+
+    def __init__(self, parent, token):
+        self.parent = parent
+        self.token = token
+
+
 def ctc_beam_search_decode_logits(logits, beam_width=8, blank=0, topk=1,
                                   lm=None, lm_weight=0.0):
     """logits: (T, V) UNnormalized or log-softmaxed scores for one
     sequence. Returns list of (prefix tuple, log_prob) best-first.
 
     ``lm``: optional language model for shallow fusion — an object with
-    ``start() -> state`` and ``score(state, token) -> (logp_vec, fn)``
-    where logp_vec is the (V,)-ish log-prob of each next token and
-    ``fn(token) -> state`` advances the state (see RNNLMFusion).
+    ``start() -> state``, ``next_scores(state) -> (V,) log-probs`` and
+    ``advance(state, token) -> state`` (see RNNLMFusion).
     The beam ranks by acoustic + lm_weight * lm log-probability; the
     returned score is the acoustic prefix probability.
     """
@@ -47,7 +57,19 @@ def ctc_beam_search_decode_logits(logits, beam_width=8, blank=0, topk=1,
 
     # prefix -> [log p ending in blank, log p ending in non-blank]
     beams = {(): (0.0, NEG_INF)}
+    # prefix -> (lm_state_or_pending, accumulated lm log-prob). LM
+    # advances are LAZY: an extension stores (parent_state, token) and
+    # the real advance runs only if the prefix survives pruning —
+    # eager advancing costs beam*V device LSTM steps per frame for the
+    # <= beam survivors actually needed
     lm_cache = {(): (lm.start() if lm is not None else None, 0.0)}
+
+    def lm_state(prefix):
+        state, acc = lm_cache[prefix]
+        if isinstance(state, _PendingLM):
+            state = lm.advance(state.parent, state.token)
+            lm_cache[prefix] = (state, acc)
+        return state
 
     for t in range(T):
         frame = logits[t]
@@ -55,8 +77,7 @@ def ctc_beam_search_decode_logits(logits, beam_width=8, blank=0, topk=1,
         lm_scores = {}
         if lm is not None:
             for prefix in beams:
-                state, acc = lm_cache[prefix]
-                lm_scores[prefix] = lm.next_scores(state)
+                lm_scores[prefix] = lm.next_scores(lm_state(prefix))
         for prefix, (p_b, p_nb) in beams.items():
             total = logaddexp(p_b, p_nb)
             # blank keeps the prefix, moves mass to the blank state
@@ -78,9 +99,9 @@ def ctc_beam_search_decode_logits(logits, beam_width=8, blank=0, topk=1,
                 else:
                     e2[1] = logaddexp(e2[1], total + frame[c])
                 if lm is not None and ext not in lm_cache:
-                    state, acc = lm_cache[prefix]
+                    state, acc = lm_cache[prefix]   # materialized above
                     lm_cache[ext] = (
-                        lm.advance(state, c),
+                        _PendingLM(state, c),
                         acc + float(lm_scores[prefix][c]))
 
         def rank(kv):
@@ -174,26 +195,52 @@ def transducer_beam_search(f, pred_params, num_layers, hidden_dim,
 
     s0, g0 = pred_start()
     lm0 = lm.start() if lm is not None else None
-    # prefix -> (logp, pred_state, g_vec, lm_state, lm_acc)
-    beams = {(): (0.0, s0, g0, lm0, 0.0)}
+    # prefix -> [logp, pred, lms, lacc], where pred is a materialized
+    # (state, g_vec) pair or a _PendingLM(parent_state, token), and lms
+    # likewise — prediction-net and fusion-LM advances run LAZILY, only
+    # for hypotheses that survive pruning (eager advancing costs
+    # beam^2 device LSTM steps per expansion round for <= beam needed)
+    beams = {(): [0.0, (s0, g0), lm0, 0.0]}
+
+    def pred_of(v):
+        if isinstance(v[1], _PendingLM):
+            v[1] = pred_advance(v[1].parent, v[1].token)
+        return v[1]
+
+    def lms_of(v):
+        if isinstance(v[2], _PendingLM):
+            v[2] = lm.advance(v[2].parent, v[2].token)
+        return v[2]
+
+    def fused(v):
+        return v[0] + lm_weight * v[3]
 
     for t in range(T):
         frontier = dict(beams)
         settled = {}
-        for _ in range(max_expansions + 1):
+        for round_ in range(max_expansions + 1):
+            # the final round only settles blanks: its label extensions
+            # could never be consumed (the loop exits before they are
+            # processed), so generating them would be discarded work
+            expansions_live = round_ < max_expansions
             nxt_frontier = {}
-            for prefix, (logp, state, g, lms, lacc) in frontier.items():
+            for prefix, v in frontier.items():
+                logp, lacc = v[0], v[3]
+                state, g = pred_of(v)
                 joint = f[t] + g
                 joint = joint - _logsumexp(joint)
                 # blank: this hypothesis consumes frame t
                 blank_lp = logp + joint[blank]
                 if prefix in settled:
-                    old = settled[prefix]
-                    settled[prefix] = (logaddexp(old[0], blank_lp),) + \
-                        old[1:]
+                    settled[prefix][0] = logaddexp(settled[prefix][0],
+                                                   blank_lp)
                 else:
-                    settled[prefix] = (blank_lp, state, g, lms, lacc)
+                    settled[prefix] = [blank_lp, v[1], v[2], lacc]
+                if not expansions_live:
+                    continue
                 # labels: extend within the same frame
+                lm_vec = lm.next_scores(lms_of(v)) if lm is not None \
+                    else None
                 order = np.argsort(joint)[::-1]
                 added = 0
                 for c in order:
@@ -201,30 +248,28 @@ def transducer_beam_search(f, pred_params, num_layers, hidden_dim,
                         continue
                     ext = prefix + (int(c),)
                     lp = logp + joint[c]
-                    ns, ng = pred_advance(state, int(c))
-                    nlms, nlacc = lms, lacc
-                    if lm is not None:
-                        nlacc = lacc + float(lm.next_scores(lms)[int(c)])
-                        nlms = lm.advance(lms, int(c))
+                    nlacc = lacc + float(lm_vec[int(c)]) \
+                        if lm is not None else lacc
                     if ext not in nxt_frontier or lp > nxt_frontier[ext][0]:
-                        nxt_frontier[ext] = (lp, ns, ng, nlms, nlacc)
+                        nxt_frontier[ext] = [
+                            lp, _PendingLM(state, int(c)),
+                            _PendingLM(v[2], int(c)) if lm is not None
+                            else None, nlacc]
                     added += 1
                     if added >= beam_width:
                         break
             if not nxt_frontier:
                 break
-            frontier = dict(sorted(
-                nxt_frontier.items(),
-                key=lambda kv: -(kv[1][0] + lm_weight * kv[1][4])
-            )[:beam_width])
-        beams = dict(sorted(
-            settled.items(),
-            key=lambda kv: -(kv[1][0] + lm_weight * kv[1][4])
-        )[:beam_width])
+            frontier = dict(sorted(nxt_frontier.items(),
+                                   key=lambda kv: -fused(kv[1]))
+                            [:beam_width])
+        beams = dict(sorted(settled.items(),
+                            key=lambda kv: -fused(kv[1]))[:beam_width])
 
-    scored = sorted(((p, v[0]) for p, v in beams.items()),
-                    key=lambda kv: -kv[1])
-    return scored[:topk]
+    # rank by acoustic + fused LM mass (same convention as the CTC
+    # host final_rank and the on-device beam), report the acoustic score
+    ranked = sorted(beams.items(), key=lambda kv: -fused(kv[1]))
+    return [(p, v[0]) for p, v in ranked[:topk]]
 
 
 def ctc_beam_search_decode_probs(probs, beam_width=8, blank=0, topk=1):

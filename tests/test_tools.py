@@ -217,3 +217,49 @@ def test_pt_loader_plain_tensors(tmp_path):
     np.testing.assert_allclose(back["a"], [[0, 1, 2], [3, 4, 5]])
     np.testing.assert_array_equal(back["nested"]["b"], [1, 2])
     np.testing.assert_allclose(back["bf16"], [1.5] * 4)
+
+
+def test_dataloader_batch_sampler_epoch_and_shard():
+    """The batch_sampler path must honor the same epoch/multi-host
+    contract as the plain index path: a shuffling DurationBatchSampler
+    gets its epoch bumped (else every epoch repeats epoch-0's order),
+    and process shards take disjoint equal-count batch slices."""
+    from haloop_tpu.dataloader import DataLoader
+    from haloop_tpu.sampler import DurationBatchSampler
+
+    class DS:
+        def __init__(self):
+            self.rows = [(i, np.zeros((3, 2)), 'x') for i in range(24)]
+
+        def __len__(self):
+            return len(self.rows)
+
+        def __getitem__(self, i):
+            return self.rows[i]
+
+        def duration(self, i):
+            return 10.0
+
+    def collate(items):
+        return [i for i, _, _ in items]
+
+    sampler = DurationBatchSampler(DS(), max_duration=40, shuffle=True,
+                                   seed=0)
+    loader = DataLoader(DS(), collate, batch_sampler=sampler)
+    epoch1 = [tuple(b) for b in loader]
+    epoch2 = [tuple(b) for b in loader]
+    flat = sorted(i for b in epoch1 for i in b)
+    assert flat == list(range(24))               # full coverage
+    assert epoch1 != epoch2                      # reshuffled per epoch
+
+    shards = []
+    for pi in range(2):
+        s = DurationBatchSampler(DS(), max_duration=40, shuffle=True,
+                                 seed=0)
+        dl = DataLoader(DS(), collate, batch_sampler=s,
+                        process_shard=(pi, 2))
+        shards.append([tuple(b) for b in dl])
+    assert len(shards[0]) == len(shards[1])      # equal batch counts
+    i0 = {i for b in shards[0] for i in b}
+    i1 = {i for b in shards[1] for i in b}
+    assert not (i0 & i1)                         # disjoint
