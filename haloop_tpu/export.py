@@ -55,6 +55,12 @@ def _export_hac(ckpt, output, dtype):
     stem = base.with_suffix('') if base.suffix == '.pt' else base
     for mod in ('encoder', 'recognizer'):
         sd = _flatten(ckpt[mod], dtype=dtype)
+        # r9 (FixupResNet) 2D convs are stored HWIO (TPU layout); torch
+        # modules expect OIHW — 1D convs and linears are already in
+        # torch layout (nn/core.py), only 4-dim weights need the flip
+        sd = {k: (np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+                  if getattr(v, 'ndim', 0) == 4 else v)
+              for k, v in sd.items()}
         path = Path(f'{stem}.{mod}.pt')
         save_pt(path, sd)
         n = sum(v.size for v in sd.values())

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from haloop_tpu.nn.core import (
     conv1d, conv1d_init, dropout, layer_norm, layer_norm_init, new_gelu)
-from haloop_tpu.models.conv import dwconv1d, dwconv1d_init
+from haloop_tpu.models.conv import (
+    conv_encoder, conv_encoder_init, conv_encoder_subsampled_lengths)
 from haloop_tpu.models.gpt import GPTConfig, _block_init, _block_apply
 
 
@@ -100,36 +101,30 @@ def audio_encoder_apply(p, cfg, x, input_lengths, measure_entropy=False,
 
 
 def striding_audio_encoder_init(key, cfg: StridingAudioEncoderConfig):
-    n = len(cfg.conv_strides)
-    ks = jax.random.split(key, cfg.n_layer + n + 1)
-    conv = [conv1d_init(ks[0], cfg.d_input, cfg.d_conv, 3)]
-    for i in range(1, n - 1):
-        conv.append(dwconv1d_init(ks[i], cfg.d_conv, cfg.d_conv, 3))
-    conv.append(dwconv1d_init(ks[n - 1], cfg.d_conv, cfg.n_embd, 3))
+    # the conv stack IS a ConvEncoder (the reference builds the same
+    # layer list in both classes) — one implementation, models/conv.py
+    kc, kt = jax.random.split(key)
+    ks = jax.random.split(kt, cfg.n_layer)
     return {
-        "conv": conv,
+        "conv": conv_encoder_init(kc, cfg.d_input, cfg.d_conv, cfg.n_embd,
+                                  cfg.conv_strides)["conv"],
         "transformer": {
-            "h": [_block_init(ks[n + i], cfg) for i in range(cfg.n_layer)],
+            "h": [_block_init(ks[i], cfg) for i in range(cfg.n_layer)],
             "ln_f": layer_norm_init(cfg.n_embd, bias=cfg.bias),
         },
     }
 
 
 def striding_subsampled_lengths(cfg, input_lengths):
-    o = input_lengths
-    for s in cfg.conv_strides:
-        o = jnp.floor((o + 2 * 1 - 3) / s + 1)
-    return o.astype(jnp.int32)
+    return conv_encoder_subsampled_lengths(cfg.conv_strides, input_lengths)
 
 
 def striding_audio_encoder_apply(p, cfg, x, input_lengths,
                                  measure_entropy=False, key=None,
                                  train=False, collect_activations=False):
     acts = {}
-    x = new_gelu(conv1d(p["conv"][0], x, stride=cfg.conv_strides[0],
-                        padding=1))
-    for layer, s in zip(p["conv"][1:], cfg.conv_strides[1:]):
-        x = new_gelu(dwconv1d(layer, x, stride=s, padding=1))
+    x, _ = conv_encoder({"conv": p["conv"]}, x, input_lengths,
+                        cfg.conv_strides)
     if collect_activations:
         acts["conv"] = x
 

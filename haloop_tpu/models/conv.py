@@ -36,18 +36,28 @@ def conv_encoder_init(key, input_dim, hidden_dim, output_dim, strides,
     return {"conv": layers}
 
 
+def layer_strides(strides):
+    """One stride per LAYER of the conv stack. The reference builds
+    ``[Conv1d(s_0)] + [DWConv1d(s) for s in strides[1:-1]] +
+    [DWConv1d(s_last)]`` (ha/conv.py ConvEncoder), so a single-stride
+    config still has TWO layers, both at that stride — apply and
+    length-count per layer, not per stride."""
+    return [strides[0], *strides[1:-1], strides[-1]]
+
+
 def conv_encoder_subsampled_lengths(strides, input_lengths, kernel_size=3,
                                     padding=1):
     o = input_lengths
-    for s in strides:
+    for s in layer_strides(strides):
         o = jnp.floor((o + 2 * padding - kernel_size) / s + 1)
     return o.astype(jnp.int32)
 
 
 def conv_encoder(p, x, input_lengths, strides, kernel_size=3):
     """x: (N, T, C) -> (N, T', C'), with GELU after every conv layer."""
-    x = new_gelu(conv1d(p["conv"][0], x, stride=strides[0], padding=1))
-    for layer, s in zip(p["conv"][1:], strides[1:]):
+    ls = layer_strides(strides)
+    x = new_gelu(conv1d(p["conv"][0], x, stride=ls[0], padding=1))
+    for layer, s in zip(p["conv"][1:], ls[1:]):
         x = new_gelu(dwconv1d(layer, x, stride=s, padding=1))
     return x, conv_encoder_subsampled_lengths(strides, input_lengths,
                                               kernel_size=kernel_size)

@@ -80,7 +80,10 @@ def fixup_resnet_apply(p, x, input_lengths, measure_entropy=False, key=None,
         for i, block in enumerate(p[name]):
             h = _block_apply(block, h, stride=stride0 if i == 0 else 1)
     h = h + p["bias2"]
-    # (N, H, W, Cn) -> (N, W, H*Cn): flatten freq x channels into features
+    # (N, H, W, Cn) -> (N, W, Cn*H): the feature axis flattens
+    # CHANNEL-major (index c*H + h), matching the reference's
+    # view(N, C*H, W).mT (ha/resnet.py:140-141) so checkpoints and
+    # downstream recognizer weights transfer either way
     N2, H, W, Cn = h.shape
-    h = h.transpose(0, 2, 1, 3).reshape(N2, W, H * Cn)
+    h = h.transpose(0, 2, 3, 1).reshape(N2, W, Cn * H)
     return h, input_lengths // 4, {}

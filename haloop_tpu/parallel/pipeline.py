@@ -19,8 +19,10 @@ from jax.sharding import PartitionSpec as P
 
 try:
     from jax import shard_map as _shard_map
-except ImportError:                      # older jax
+    _CHECK_KW = {"check_vma": False}
+except ImportError:                      # older jax: check_rep, not check_vma
     from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = {"check_rep": False}
 
 
 def stack_blocks(blocks):
@@ -85,7 +87,7 @@ def pipeline_blocks(mesh, cfg, stacked, x_micro, *, axis="pipe",
 
     specs_in = (jax.tree.map(lambda _: P(axis), grouped), P())
     return _shard_map(stage, mesh=mesh, in_specs=specs_in, out_specs=P(),
-                      check_vma=False)(grouped, x_micro)
+                      **_CHECK_KW)(grouped, x_micro)
 
 
 def gpt_block_apply_nodrop(block, cfg, x):
