@@ -227,9 +227,11 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
                      activation_spec=activation_spec, positions=positions,
                      segment_ids=segment_ids)
     from haloop_tpu.ops.dispatch import use_pallas
+    from haloop_tpu.ops.fused_ce import pick_tv
     B, T = target_ids.shape
     if (use_pallas() and cfg.vocab_size >= 4096
-            and "bias" not in p["lm_head"] and activation_spec is None):
+            and "bias" not in p["lm_head"] and activation_spec is None
+            and pick_tv(x.shape[-1], x.dtype.itemsize) is not None):
         # fused lm_head+CE kernel: the (B, T, V) logits never hit HBM
         # (ops/fused_ce.py; the GPT-2-vocab scoring hot spot)
         from haloop_tpu.ops.fused_ce import fused_ce_nll

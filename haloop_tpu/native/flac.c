@@ -242,7 +242,7 @@ static int decode_subframe(BR *br, int32_t *out, int blocksize, int bps) {
         if (order > blocksize) return -1;
         for (i = 0; i < order; i++) out[i] = br_read_signed(br, bps);
         precision = br_read(br, 4) + 1;
-        if (precision > 15 + 1) return -1;  /* 0b1111 is invalid */
+        if (precision > 15) return -1;  /* raw 0b1111 is invalid (RFC 9639) */
         shift = br_read_signed(br, 5);
         if (shift < 0) return -1;
         for (j = 0; j < order; j++) coef[j] = br_read_signed(br, precision);
@@ -320,6 +320,7 @@ long long flac_decode(const uint8_t *data, long long size, int32_t *out,
         default: goto fail;
         }
 
+        if (chan_asgn > 10) goto fail;  /* 11-15 reserved (RFC 9639) */
         nch = chan_asgn < 8 ? chan_asgn + 1 : 2;
         if (nch != si.channels) goto fail;
         for (ch = 0; ch < nch; ch++) {

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from haloop_tpu.ops.ctc_pallas import _interp, _round_up
+
 NEG = -1e30
 
 
@@ -64,25 +66,28 @@ def _ce_kernel(x_ref, w_ref, t_ref, nll_ref, lse_ref, m_ref, s_ref, g_ref,
         lse_ref[:] = lse.astype(out_dtype)
 
 
-def _round_up(n, m):
-    return (n + m - 1) // m * m
+def pick_tv(D, itemsize, tn=256, budget=14 * 2 ** 20):
+    """Largest vocab tile whose double-buffered x/w blocks fit VMEM
+    (same ~16MB discipline as ctc_pallas._tiles; the kernel measured
+    flat across tile sweeps, so shrinking tv is performance-neutral).
+    None = no tile fits — caller must use the XLA fallback."""
+    DP = _round_up(D, 128)
+    tv = 2048
+    while tv >= 256:
+        if 2 * (tv + tn) * DP * itemsize <= budget:
+            return tv
+        tv //= 2
+    return None
 
 
-def _interp(flag):
-    """Interpret off-TPU so forced dispatch (HALOOP_KERNELS=1) and CPU
-    tests run the same kernel code."""
-    if flag:
-        return True
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:
-        return True
-
-
-def _fused_ce_fwd_impl(x, w, targets, *, tn=256, tv=2048, interpret=False):
+def _fused_ce_fwd_impl(x, w, targets, *, tn=256, tv=None, interpret=False):
     """x (N, D), w (V, D), targets (N,) -> (nll (N,), lse (N,)) fp32."""
     N, D = x.shape
     V = w.shape[0]
+    if tv is None:
+        tv = pick_tv(D, x.dtype.itemsize, tn)
+        assert tv is not None, \
+            f"no VMEM-safe vocab tile for D={D} {x.dtype} (gate on pick_tv)"
     NP, VP, DP = _round_up(N, tn), _round_up(V, tv), _round_up(D, 128)
     if DP != D:
         x = jnp.pad(x, ((0, 0), (0, DP - D)))

@@ -24,22 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from haloop_tpu.ops.ctc_pallas import _interp, _round_up
+
 NEG = -1e30
-
-
-def _round_up(n, m):
-    return (n + m - 1) // m * m
-
-
-def _interp(flag):
-    """Interpret off-TPU so forced dispatch (HALOOP_KERNELS=1) and CPU
-    tests run the same kernel code."""
-    if flag:
-        return True
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:
-        return True
 
 
 def _lse_kernel(f_ref, g_ref, out_ref, *, U1, UP):
