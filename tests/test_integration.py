@@ -237,3 +237,39 @@ def test_gpt_train_step_shard_map_parity():
     np.testing.assert_allclose(g0, g1, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_hac_accumulate_logged_loss_scale():
+    """The accumulate branch must log the update's MEAN BATCH loss at
+    the same scale as the fused branch (a past bug logged the last
+    micro-batch's pre-divided loss — a factor of `accumulate` small)."""
+    import re
+    import subprocess
+    import sys
+    import os
+    from pathlib import Path
+
+    losses = {}
+    for acc in ("1", "2"):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        r = subprocess.run(
+            [sys.executable, "-m", "haloop_tpu.loop",
+             "--arch", "lstm-tiny:512", "--vocab", "512",
+             "--train", "head:sinusoids0", "--eval", "head:sinusoids0",
+             "--num-epochs", "1", "--batch-size", "4",
+             "--accumulate", acc, "--lr", "1e-9",
+             "--lr_schedule", "const", "--clip-grad-norm", "10",
+             "--exp", f"/tmp/hac_llscale{acc}", "--save", "none",
+             "--log-interval", "2", "--seed", "7"],
+            env=env, capture_output=True, text=True, timeout=900,
+            cwd=Path(__file__).parent.parent)
+        assert r.returncode == 0, r.stderr[-2000:]
+        m = re.findall(r"loss: ([\d.]+) grad_norm", r.stderr)
+        assert m, r.stderr[-2000:]
+        losses[acc] = float(m[0])
+
+    # lr ~0 so both runs see near-identical params: the first logged
+    # losses must agree in SCALE (the old bug made acc=2 half of acc=1)
+    ratio = losses["2"] / losses["1"]
+    assert 0.8 < ratio < 1.25, losses
