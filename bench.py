@@ -15,14 +15,39 @@ target from BASELINE.json is >= 5x that anchor (vs_baseline >= 5).
 """
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
 A100_ESTIMATE_UTT_PER_SEC = 40.0
 
+# generous: first remote compile through the axon tunnel has been
+# measured at up to ~550s; a DEAD tunnel relay hangs forever — emit a
+# parseable failure line instead of hanging the driver
+WATCHDOG_SECONDS = 1500
+
 
 def main():
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(WATCHDOG_SECONDS):
+            print(json.dumps({
+                "metric": "hac lstm:512 CTC train throughput "
+                          "(B=48, 12s utts)",
+                "value": 0.0,
+                "unit": "utt/sec",
+                "vs_baseline": 0.0,
+                "note": f"TPU backend unreachable within "
+                        f"{WATCHDOG_SECONDS}s (tunnel relay down?); "
+                        f"no measurement taken",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +97,7 @@ def main():
     dt = time.perf_counter() - t0
 
     utt_per_sec = B * iters / dt
+    done.set()
     print(json.dumps({
         "metric": "hac lstm:512 CTC train throughput (B=48, 12s utts)",
         "value": round(utt_per_sec, 2),
