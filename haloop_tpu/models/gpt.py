@@ -327,14 +327,18 @@ def speculative_verify(p, cfg, toks, cache):
 
 
 def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
-                         stop_token=50256):
-    """Greedy generation with prompt-lookup speculative decoding
-    (n-gram drafts from the already-seen context, verified in blocks of
-    ``draft_len`` — one device call per block instead of per token).
-    Output is bit-identical to ``generate(..., top_k=1)``; repetitive
-    continuations accept long draft runs and decode several tokens per
-    model call. Host-driven (the draft lookup is a python n-gram
-    match), so this is the hat/serving path, not a jit building block.
+                         stop_token=50256, draft_fn=None):
+    """Greedy generation with speculative decoding: drafts of
+    ``draft_len`` tokens are verified in one device call per block
+    instead of one per token. Output is bit-identical to
+    ``generate(..., top_k=1)`` for ANY draft source (wrong drafts are
+    merely rejected). Host-driven, so this is the hat/serving path, not
+    a jit building block.
+
+    draft_fn(hist) -> K tokens supplies the draft; None uses prompt
+    lookup (n-gram copy from the already-seen context — free, strong on
+    repetitive text). ``make_gpt_draft_fn`` builds a learned draft from
+    a smaller GPT checkpoint (strong everywhere the draft model is).
     """
     import numpy as np
 
@@ -356,7 +360,9 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
     out = [cur]
     while len(out) < max_new_tokens and out[-1] != stop_token \
             and cache[0]["length"] + K + 1 < cache[0]["k"].shape[-2]:
-        draft = _prompt_lookup_draft(hist, K)
+        draft = draft_fn(hist) if draft_fn is not None \
+            else _prompt_lookup_draft(hist, K)
+        draft = (list(draft) + [hist[-1]] * K)[:K]
         toks = jnp.asarray([[hist[-1]] + draft], jnp.int32)
         emitted, n, cache = verify(p, toks, cache)
         for t in np.asarray(emitted)[:int(n)].tolist():
@@ -367,6 +373,34 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
     if out and out[-1] == stop_token:
         out = out[:-1]
     return out[:max_new_tokens]
+
+
+def make_gpt_draft_fn(p_d, cfg_d, draft_len, window=64):
+    """Learned draft for ``generate_speculative``: greedy-roll
+    ``draft_len`` tokens from a (smaller) GPT over a fixed context
+    window — prefill + lax.scan compile to ONE program per
+    (window, draft_len), so every draft is a single device call with no
+    cross-call cache to roll back. Short histories left-pad with token
+    0 (slightly degraded drafts there; rejections are harmless)."""
+    import numpy as np
+
+    window = min(window, cfg_d.block_size - draft_len - 1)
+
+    @functools.lru_cache(maxsize=4)
+    def rollout(cfg, K):
+        def f(p, ids):
+            toks, _ = generate(p, cfg, ids, K, top_k=1, stop_token=-1)
+            return toks
+        return jax.jit(f)
+
+    def draft_fn(hist):
+        ctx = [int(t) % cfg_d.vocab_size for t in hist[-window:]]
+        ids = [0] * (window - len(ctx)) + ctx
+        toks = rollout(cfg_d, draft_len)(
+            p_d, jnp.asarray([ids], jnp.int32))
+        return np.asarray(toks)[0].tolist()
+
+    return draft_fn
 
 
 @functools.lru_cache(maxsize=8)

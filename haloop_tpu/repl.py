@@ -50,6 +50,12 @@ def main():
                              "prompt-lookup drafts (exact greedy "
                              "output, several tokens per model call on "
                              "repetitive text; implies --top-k 1)")
+    parser.add_argument('--draft', type=str, default=None,
+                        help="checkpoint of a smaller GPT to draft for "
+                             "--spec (learned drafts accept more tokens "
+                             "per verify call than prompt lookup on "
+                             "non-repetitive text; output stays exact "
+                             "greedy)")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')
@@ -97,6 +103,17 @@ def main():
         params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    draft_fn = None
+    if args.draft:
+        dspec, dparams = load_model(args.draft)
+        if args.dtype == 'bfloat16':
+            dparams = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, dparams)
+        draft_fn = G.make_gpt_draft_fn(dparams, dspec.config,
+                                       max(args.spec, 1))
+        print('Loaded draft model:', dspec.config, file=sys.stderr)
 
     if args.bytes:
         class ByteTok:
@@ -189,7 +206,7 @@ def main():
             if args.spec > 0:
                 toks = G.generate_speculative(
                     params, cfg, x, args.steps, draft_len=args.spec,
-                    stop_token=eos)
+                    stop_token=eos, draft_fn=draft_fn)
                 i = max(len(toks) - 1, 0)
                 for tid in toks:
                     emit(tid)

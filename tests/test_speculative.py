@@ -56,3 +56,29 @@ def test_prompt_lookup_draft():
     assert G._prompt_lookup_draft(hist, 4) == [4, 9, 9, 2]
     # no match -> repeat last
     assert G._prompt_lookup_draft([1, 2, 3], 3, ngram=2) == [3, 3, 3]
+
+
+def test_learned_draft_equals_greedy(model):
+    """A learned draft model (ANY draft model — here a differently
+    seeded nano GPT and the model itself) must leave speculative output
+    bit-identical to greedy; a self-draft should accept whole blocks."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 90, (1, 9)).astype(np.int32))
+    want = greedy_reference(params, cfg, ids, 24)
+
+    # unrelated draft weights: rejections everywhere, output unchanged
+    dcfg = G.GPTConfig(block_size=64, vocab_size=96, n_layer=1, n_head=2,
+                       n_embd=16)
+    dparams = G.gpt_init(jax.random.PRNGKey(9), dcfg)
+    draft = G.make_gpt_draft_fn(dparams, dcfg, 6, window=16)
+    got = G.generate_speculative(params, cfg, ids, 24, draft_len=6,
+                                 stop_token=95, draft_fn=draft)
+    assert got == want, (got, want)
+
+    # the model drafting for itself: perfect drafts once the window
+    # holds the full history — still exact, and every block accepts
+    self_draft = G.make_gpt_draft_fn(params, cfg, 6, window=48)
+    got2 = G.generate_speculative(params, cfg, ids, 24, draft_len=6,
+                                  stop_token=95, draft_fn=self_draft)
+    assert got2 == want, (got2, want)
