@@ -549,9 +549,10 @@ def main():
               f"{checksum:.9e} after {iter_num} iters", file=sys.stderr)
 
     if args.eval and not args.train:
-        val_loss = evaluate()      # collective under multi-process
+        val_loss, val_bpb = evaluate()   # collective under multi-process
         if master:
-            print(f"step {iter_num}: val loss {val_loss}. final eval")
+            print(f"step {iter_num}: val loss {val_loss:.4f}, "
+                  f"val bpb {val_bpb:.4f}. final eval")
 
 
 if __name__ == '__main__':

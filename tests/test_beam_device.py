@@ -69,3 +69,30 @@ def test_beam_scores_equal_lattice_likelihoods():
             # beam mass <= full lattice mass (beam may have pruned
             # some alignments); top beams on short inputs match tightly
             assert scores[n, j] <= lattice + 1e-4
+
+    # unpruned regime: with the beam wide enough to hold EVERY distinct
+    # prefix (V=3, T=3 -> <= 15 prefixes <= K=16), every beam's score
+    # must EQUAL its exact lattice likelihood — the two-sided check the
+    # bound above cannot give
+    rng = np.random.default_rng(3)
+    T2, V2, K2 = 3, 3, 16
+    lp2 = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(1, T2, V2)).astype(np.float32) * 2),
+        -1))
+    l2 = jnp.array([T2], jnp.int32)
+    pf2, ln2, sc2 = ctc_beam_search_batched(jnp.asarray(lp2), l2,
+                                            beam_width=K2)
+    pf2, ln2, sc2 = np.asarray(pf2), np.asarray(ln2), np.asarray(sc2)
+    checked = 0
+    for j in range(K2):
+        L = int(ln2[0, j])
+        if L <= 0 or sc2[0, j] < -1e29:
+            continue
+        tg = jnp.asarray(pf2[0:1, j, :L].astype(np.int32))
+        lattice = -float(ctc_forward_score(
+            jnp.swapaxes(jnp.asarray(lp2[0:1]), 0, 1), tg,
+            l2, jnp.array([L]))[0])
+        np.testing.assert_allclose(sc2[0, j], lattice, rtol=1e-4,
+                                   atol=1e-4)
+        checked += 1
+    assert checked >= 3, checked

@@ -42,23 +42,51 @@ def test_speed_perturb_changes_length():
 def test_spec_augment_zeroes_bands():
     rng = np.random.default_rng(1)
     frames = np.ones((50, 80), np.float32)
-    out = features.spec_augment(frames, rng)
-    assert out.shape == frames.shape
-    assert (out == 0).any() or (out == frames).all()
+    masked_any = False
+    for _ in range(10):
+        out = features.spec_augment(frames, rng)
+        assert out.shape == frames.shape
+        # every entry is either masked to zero or untouched
+        assert ((out == 0) | (out == frames)).all()
+        # never a full wipe-out
+        assert (out == frames).any()
+        masked_any |= bool((out == 0).any())
+    # mask widths are U[0, param): over 10 draws SOME band must mask
+    # (an identity-regressed spec_augment fails here)
+    assert masked_any
 
 
 def test_hala_eval_bpb_math(tmp_path):
     """Token-weighted val loss and bits-per-byte follow the reference
-    formulas (ha/attention_loop.py:156-174)."""
+    formulas (ha/attention_loop.py:156-174) — asserted through the REAL
+    hala eval path: a fresh random-init byte model on uniform random
+    bytes must score ~ln(V) nats/token, i.e. ~log2(V) bits/byte."""
     import math
-    # synthetic: loss sums over (y > 0) tokens; bpb = sum_loss/bytes/ln2
-    losses = [10.0, 20.0]
-    counts = [5, 5]
-    eval_bytes = 100.0
-    val_loss = sum(losses) / sum(counts)
-    val_bpb = (sum(losses) / eval_bytes) / math.log(2)
-    assert abs(val_loss - 3.0) < 1e-9
-    assert abs(val_bpb - 30.0 / eval_bytes / math.log(2)) < 1e-9
+    import os
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    rng = np.random.default_rng(0)
+    val = rng.integers(0, 256, 64 * 4 * 2, dtype=np.uint16)
+    val.tofile(tmp_path / "val.bin")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "haloop_tpu.attention_loop",
+         "--arch", "gpt-nano:256:64", "--eval", str(tmp_path / "val.bin"),
+         "--eval_bytes", str(len(val)), "--batch_size", "4",
+         "--block_size", "64", "--exp", str(tmp_path / "exp")],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = re.search(r"val loss (\d+\.\d+), val bpb (\d+\.\d+)", r.stdout)
+    assert m, r.stdout
+    val_loss, val_bpb = float(m.group(1)), float(m.group(2))
+    # uniform bytes, untrained model: ~ln(256) nats, ~8 bits/byte
+    assert abs(val_loss - math.log(256)) < 0.5, val_loss
+    assert abs(val_bpb - val_loss / math.log(2)) < 0.2, (val_loss, val_bpb)
 
 
 def test_augmentations_deterministic_per_epoch():

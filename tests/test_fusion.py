@@ -29,6 +29,20 @@ def test_ctc_beam_lm_fusion_changes_ranking():
                                          lm=lm, lm_weight=0.0)
     assert [p for p, _ in zero] == [p for p, _ in plain]
 
+    # and at a heavy weight the LM must ACTUALLY move the ranking for
+    # at least one input (a fusion path that silently drops the lm term
+    # would match plain everywhere)
+    changed = False
+    for seed in range(8):
+        rs = np.random.default_rng(seed)
+        lp = np.asarray(jax.nn.log_softmax(
+            jnp.asarray(rs.normal(size=(T, V)).astype(np.float32)), -1))
+        a = ctc_beam_search_decode_logits(lp, beam_width=16, topk=3)
+        b = ctc_beam_search_decode_logits(lp, beam_width=16, topk=3,
+                                          lm=lm, lm_weight=5.0)
+        changed |= [p for p, _ in a] != [p for p, _ in b]
+    assert changed
+
 
 def test_transducer_beam_contains_greedy():
     """With beam_width >= 1 the beam's best hypothesis must score at
@@ -50,8 +64,18 @@ def test_transducer_beam_contains_greedy():
                                   beam_width=4, topk=4)
     assert hyps
     prefixes = [h[0] for h in hyps]
-    # greedy path should be rediscovered (or beaten) by the beam
-    assert greedy in prefixes or hyps[0][1] > -np.inf
+    # width-1 is a strict sub-search of width-4: its winner must appear
+    # in the wider beam with a score the wider beam matches or beats
+    # (blank-merging only ADDS mass), and the wider top-1 must dominate
+    narrow = transducer_beam_search(f, p["lm"], lm_layers, lm_dim,
+                                    beam_width=1, topk=1)
+    (n_prefix, n_score), = narrow
+    assert n_prefix in prefixes, (n_prefix, prefixes)
+    wide_score = dict(hyps)[n_prefix]
+    assert wide_score >= n_score - 1e-9, (wide_score, n_score)
+    assert hyps[0][1] >= n_score - 1e-9
+    # scores come back best-first
+    assert all(a[1] >= b[1] for a, b in zip(hyps, hyps[1:]))
 
 
 def test_transducer_beam_lm_fusion_runs():

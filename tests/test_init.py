@@ -83,7 +83,13 @@ def test_native_checkpoint_roundtrip(tmp_path):
     flat1 = jax.tree.leaves(params)
     flat2 = jax.tree.leaves(back["model"])
     assert len(flat1) == len(flat2)
-    np.testing.assert_allclose(np.asarray(flat1[0]), flat2[0])
+    # EVERY leaf round-trips exactly (value, dtype, shape) — a single
+    # leaf check would miss reorderings or dtype truncation elsewhere
+    for a, b in zip(flat1, flat2):
+        a = np.asarray(a)
+        assert a.dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert back["model_args"] == {"arch": "decoder"}
 
 
 def test_optim_decay_mask_and_schedule():

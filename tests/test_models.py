@@ -66,8 +66,19 @@ def test_gpt_generate_stops():
                       n_embd=8)
     p = G.gpt_init(jax.random.PRNGKey(0), cfg)
     ids = jnp.array([[5, 6]])
-    toks, alive = G.generate(p, cfg, ids, 8, top_k=1, stop_token=7)
+    # no stop token: every emitted position stays alive
+    toks, alive = G.generate(p, cfg, ids, 8, top_k=1, stop_token=-1)
     assert toks.shape == (1, 8)
+    assert np.asarray(alive).all()
+    # make the FIRST greedy token the stop token: everything after it
+    # must be masked out (and the run is deterministic, so the
+    # remaining prefix matches the unstopped run)
+    stop = int(np.asarray(toks)[0, 0])
+    toks2, alive2 = G.generate(p, cfg, ids, 8, top_k=1, stop_token=stop)
+    a2 = np.asarray(alive2)[0]
+    assert not a2[1:].any(), a2
+    np.testing.assert_array_equal(np.asarray(toks2)[0, 0],
+                                  np.asarray(toks)[0, 0])
 
 
 def _tiny_cfg():

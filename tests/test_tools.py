@@ -16,7 +16,6 @@ def test_edit_distance_counts():
 
 
 def test_edit_distance_matches_reference():
-    from conftest import reference_module
     try:
         kaldialign = __import__("kaldialign")
     except ImportError:
@@ -25,6 +24,45 @@ def test_edit_distance_matches_reference():
         mine = edit_distance(list(a), list(b))
         ref = kaldialign.edit_distance(list(a), list(b))
         assert mine['total'] == ref['total']
+
+
+def test_edit_distance_matches_dp_oracle():
+    """Randomized comparison against an independent in-test Levenshtein
+    DP (the kaldialign oracle above skips on images without the wheel,
+    so this is the always-on ground truth for total/ins/del/sub)."""
+
+    def oracle(a, b):
+        n, m = len(a), len(b)
+        # (cost, ins, dels, sub) per cell
+        row = [(j, j, 0, 0) for j in range(m + 1)]
+        for i in range(1, n + 1):
+            prev, row = row, [(i, 0, i, 0)] + [None] * m
+            for j in range(1, m + 1):
+                cands = [(prev[j][0] + 1, prev[j][1], prev[j][2] + 1,
+                          prev[j][3]),                      # delete a[i-1]
+                         (row[j - 1][0] + 1, row[j - 1][1] + 1,
+                          row[j - 1][2], row[j - 1][3])]    # insert b[j-1]
+                if a[i - 1] == b[j - 1]:
+                    cands.append(prev[j - 1])
+                else:
+                    cands.append((prev[j - 1][0] + 1, prev[j - 1][1],
+                                  prev[j - 1][2], prev[j - 1][3] + 1))
+                row[j] = min(cands)
+        total, ins, dels, sub = row[m]
+        return {"total": total, "ins": ins, "del": dels, "sub": sub}
+
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        a = [int(t) for t in rng.integers(0, 4, rng.integers(0, 9))]
+        b = [int(t) for t in rng.integers(0, 4, rng.integers(0, 9))]
+        mine = edit_distance(a, b)
+        want = oracle(a, b)
+        assert mine["total"] == want["total"], (a, b, mine, want)
+        # ins/del/sub decompositions can differ between equally-minimal
+        # alignments, but their sum and the length identity cannot
+        assert mine["ins"] + mine["del"] + mine["sub"] == mine["total"]
+        # alignment length identity holds for any decomposition
+        assert len(a) - mine["del"] + mine["ins"] == len(b)
 
 
 def test_align_structure():
