@@ -127,8 +127,15 @@ def load_checkpoint_sharded(path, template=None):
         if isinstance(s, _Shard)]
     if template is not None:
         abstract = {}
-        t_arrays = [t for t in jax.tree.leaves(template) if _is_array(t)
-                    or hasattr(t, "shape")]
+        # the template filter must mirror the SAVE side's _is_array
+        # exactly (plus ShapeDtypeStructs): a looser hasattr-'shape'
+        # test also admits numpy scalars, shifting every subsequent
+        # zip pairing onto the wrong shard
+        t_arrays = [t for t in jax.tree.leaves(template)
+                    if _is_array(t) or isinstance(t, jax.ShapeDtypeStruct)]
+        assert len(t_arrays) == len(shard_leaves), \
+            (f"template has {len(t_arrays)} array leaves but the "
+             f"checkpoint stores {len(shard_leaves)} shards")
         for s, t in zip(shard_leaves, t_arrays):
             abstract[str(s.index)] = jax.ShapeDtypeStruct(
                 t.shape, t.dtype, sharding=getattr(t, "sharding", None))

@@ -1039,9 +1039,15 @@ def main():
             len(train_loader) * args.num_epochs)
         # process-0-gated checkpointing (reference rank-0 gate,
         # ha/attention_loop.py:74,95); params are replicated so every
-        # process holds the full state
-        checkpoint = Checkpointer(path=args.exp, save=args.save, fmt=args.ckpt_format) \
-            if is_master() else (lambda **kw: None)
+        # process holds the full state. Orbax sharded saves are
+        # COLLECTIVE (multi-writer with barriers): every process must
+        # call the Checkpointer or process 0 deadlocks in
+        # sync_global_devices (same gating as hala)
+        ckpt_collective = (args.ckpt_format == 'sharded'
+                           and jax.process_count() > 1)
+        checkpoint = Checkpointer(path=args.exp, save=args.save,
+                                  fmt=args.ckpt_format) \
+            if (is_master() or ckpt_collective) else (lambda **kw: None)
         for epoch in range(epoch, args.num_epochs):
             global_step = system.train_one_epoch(
                 epoch, global_step, train_loader, valid_loader)

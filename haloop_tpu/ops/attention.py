@@ -25,7 +25,10 @@ def attend(q, k, v, mask=None, measure_entropy=False):
     qk = jnp.einsum("...td,...sd->...ts", q, k,
                     preferred_element_type=jnp.float32) / math.sqrt(d)
     if mask is not None:
-        qk = jnp.where(mask, -jnp.inf, qk)
+        # finite mask value: with -inf a FULLY-masked row (kv_length 0,
+        # padded batch entry) softmaxes to NaN and NaN*0 poisons any
+        # downstream mean; -1e30 yields a harmless uniform row instead
+        qk = jnp.where(mask, -1e30, qk)
     att = jax.nn.softmax(qk, axis=-1)
     if measure_entropy:
         att_entropy = jnp.mean(jnp.sum(-att * jnp.log(att + 1e-8), axis=-1))
@@ -56,7 +59,7 @@ def mha(q, k, v, mask=None, causal=False, t0=0, kv_lengths=None,
     T, S = q.shape[-2], k.shape[-2]
     if (segment_ids is not None and mask is None and kv_lengths is None
             and not measure_entropy and use_flash != "never" and T == S
-            and _flash_worthwhile(q, k, causal)):
+            and t0 == 0 and _flash_worthwhile(q, k, causal)):
         from haloop_tpu.ops.flash import flash_attention_packed
         out = flash_attention_packed(q, k, v, segment_ids, causal)
         return out, jnp.float32(-jnp.inf)

@@ -230,11 +230,19 @@ def _tiles(N, T, S_):
     Time-tile length is then budgeted so an em/hist block stays ~4MB."""
     SP = _round_up(S_, 128)
     TN = min(_round_up(N, 8), 128)
+
     # the backward pipelines 3 such blocks (em, alpha-history, dem),
     # each double-buffered, plus kernel temporaries — budget ~1.25MB
     # per block to stay inside the 16MB VMEM
-    TT = max(8, min(_round_up(T, 8),
-                    (5 * 2 ** 18 // (TN * SP * 4)) // 8 * 8))
+    def tt_for(tn):
+        return min(_round_up(T, 8), (5 * 2 ** 18 // (tn * SP * 4)) // 8 * 8)
+
+    # long-target batches (large SP): shrink the batch tile until at
+    # least one 8-step time tile fits the budget — a hard TT floor
+    # would override the budget and fail Mosaic compilation at S >= 448
+    while TN > 8 and tt_for(TN) < 8:
+        TN = max(8, (TN // 2) // 8 * 8)
+    TT = max(8, tt_for(TN))
     return TN, TT, SP
 
 

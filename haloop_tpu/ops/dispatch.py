@@ -28,7 +28,7 @@ def force_local():
 
 def use_pallas():
     env = os.environ.get("HALOOP_KERNELS")
-    if env is not None:
+    if env:                       # empty string == unset, not force-on
         return env != "0"
     try:
         if jax.default_backend() != "tpu":

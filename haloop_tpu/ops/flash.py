@@ -364,13 +364,46 @@ def _flash_forward(q, k, v, kv_lengths, causal, t0, interpret=False,
     return res.reshape(N, H, Tp, Dp)[:, :, :T, :D]
 
 
+def _packed_reference(q, k, v, segment_ids, causal):
+    """Materialized oracle for the packed kernel (backward recompute)."""
+    from haloop_tpu.ops.attention import attend, causal_mask
+    mask = (segment_ids[:, None, :, None] !=
+            segment_ids[:, None, None, :])
+    if causal:
+        mask = mask | causal_mask(q.shape[-2], k.shape[-2])
+    return attend(q, k, v, mask=mask)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention_packed(q, k, v, segment_ids, causal=True,
                            interpret=False, bq=None, bk=None):
     """Fused attention over packed rows: q/k/v (N, H, T, D) self-attention
     with per-token ``segment_ids`` (N, T) — block-diagonal (x causal)
-    masking inside the kernel. Forward-only (hap --pack scoring); a
-    training path would differentiate through the XLA fallback in
-    ops.attention.mha instead."""
+    masking inside the kernel. Forward is the Pallas kernel (hap --pack
+    scoring hot path); the backward recomputes through the materialized
+    reference (correct everywhere; packed TRAINING is not a hot path)."""
+    return _packed_impl(q, k, v, segment_ids, causal, interpret, bq, bk)
+
+
+def _packed_fwd(q, k, v, segment_ids, causal, interpret, bq, bk):
+    out = _packed_impl(q, k, v, segment_ids, causal, interpret, bq, bk)
+    return out, (q, k, v, segment_ids)
+
+
+def _packed_bwd(causal, interpret, bq, bk, res, g):
+    q, k, v, segment_ids = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _packed_reference(q_, k_, v_, segment_ids,
+                                             causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def _packed_impl(q, k, v, segment_ids, causal=True,
+                 interpret=False, bq=None, bk=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -26,10 +26,16 @@ def logaddexp(a, b):
 
 
 def logsumexp(a, axis=-1, keepdims=False):
-    """Stable logsumexp that tolerates NEG_INF-masked entries."""
+    """Stable logsumexp that tolerates NEG_INF-masked entries: a fully
+    masked slice returns ~-87 (log of fp32 min-normal) with ZERO — not
+    NaN — gradients. The guard must be at least the min NORMAL float:
+    1e-38 is denormal and XLA flushes it to zero, making log(0+guard)
+    -inf and its gradient NaN."""
+    tiny = jnp.finfo(jnp.float32).tiny
     mx = jax.lax.stop_gradient(jnp.max(a, axis=axis, keepdims=True))
     mx = jnp.where(mx < NEG_INF / 2, 0.0, mx)
-    out = jnp.log(jnp.sum(jnp.exp(a - mx), axis=axis, keepdims=True) + 1e-38) + mx
+    out = jnp.log(jnp.sum(jnp.exp(a - mx), axis=axis, keepdims=True)
+                  + tiny) + mx
     if not keepdims:
         out = jnp.squeeze(out, axis=axis)
     return out

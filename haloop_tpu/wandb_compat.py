@@ -5,7 +5,12 @@ try:
     import wandb as _wandb
 
     init = _wandb.init
-    log = _wandb.log
+
+    def log(*args, **kwargs):
+        # dispatch at CALL time: wandb.init() rebinds wandb.log on the
+        # module (the import-time binding is a pre-init stub that
+        # raises), so a frozen `log = _wandb.log` would break --wandb
+        return _wandb.log(*args, **kwargs)
 
     def get_run():
         return _wandb.run

@@ -77,3 +77,27 @@ def test_packed_forward_matches_reference(causal, blocks):
     ref, _ = attend(q, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_packed_flash_backward_matches_reference():
+    """flash_attention_packed now differentiates (reference-recompute
+    VJP); grads must match the materialized segment-masked path."""
+    from haloop_tpu.ops import flash as F
+
+    rng = np.random.default_rng(0)
+    N, H, T, D = 1, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.normal(size=(N, H, T, D)).astype(np.float32))
+               for _ in range(3))
+    seg = jnp.asarray(np.repeat([1, 2, 3, 0], 4)[None, :].astype(np.int32))
+
+    def f_kernel(q, k, v):
+        return F.flash_attention_packed(q, k, v, seg, True, True).sum()
+
+    def f_ref(q, k, v):
+        return F._packed_reference(q, k, v, seg, True).sum()
+
+    g_kernel = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_kernel, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

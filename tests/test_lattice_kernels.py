@@ -104,3 +104,18 @@ def test_transducer_loss_fused_path(monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gw)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_ctc_tiles_respect_vmem_budget():
+    """Long-target batches must shrink the batch tile instead of
+    forcing an over-budget time tile (the old max(8, ...) floor made
+    a 4.2MB block at S>=448 that failed Mosaic compilation)."""
+    from haloop_tpu.ops.ctc_pallas import _tiles
+
+    for N, T, S_ in [(128, 800, 2 * 448 + 1), (128, 1200, 2 * 600 + 1),
+                     (48, 1200, 81), (8, 100, 9)]:
+        TN, TT, SP = _tiles(N, T, S_)
+        assert TN % 8 == 0 and TT % 8 == 0
+        block = TN * TT * SP * 4
+        assert block <= 5 * 2 ** 18 + TN * 8 * SP * 4, \
+            (N, T, S_, TN, TT, SP, block)

@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from haloop_tpu.ops.scan import (
@@ -41,3 +42,21 @@ def test_scanrec_log_matches_reference():
     want = ref.scanrec_log(torch.tensor(w), torch.tensor(b)).numpy()
     got = np.asarray(scanrec_log(jnp.array(w), jnp.array(b), axis=1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_logsumexp_fully_masked_has_finite_grad():
+    """A fully NEG_INF-masked slice must return a finite sentinel with
+    ZERO (not NaN) gradients — the 1e-38 guard was denormal and XLA
+    flushed it to zero, making the result -inf and the grad NaN."""
+    from haloop_tpu.ops.semiring import NEG_INF, logsumexp
+
+    x = jnp.full((3,), NEG_INF)
+    v = float(logsumexp(x))
+    assert np.isfinite(v) and v < -80, v
+    g = jax.grad(lambda a: logsumexp(a))(x)
+    assert np.isfinite(np.asarray(g)).all(), g
+    # and ordinary inputs are untouched
+    y = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(
+        float(logsumexp(y)),
+        float(jax.scipy.special.logsumexp(y)), rtol=1e-6)
