@@ -547,12 +547,19 @@ class System:
             train_loss += loss / args.log_interval
             if local_step % args.log_interval == 0:
                 t1 = time.time()
-                log(f'[{epoch}, {global_step:5d}] time: {t1 - t0:.3f} '
-                    f'loss: {train_loss:.3f} grad_norm: {grad_norm:.3f} '
-                    f'lr: {lr:.5f}', flush=True)
-                wandb.log({'train/loss': train_loss,
-                           'train/grad_norm': grad_norm,
-                           'train/lr': lr, 'iter': global_step})
+                # progress lines carry replicated values: multi-process
+                # runs print them once, from the master (eval/decode TSV
+                # rows stay per-process — those are DISTINCT loader
+                # shards, part of the output contract)
+                from haloop_tpu.parallel.mesh import is_master
+                if is_master():
+                    log(f'[{epoch}, {global_step:5d}] time: {t1 - t0:.3f} '
+                        f'loss: {train_loss:.3f} '
+                        f'grad_norm: {grad_norm:.3f} '
+                        f'lr: {lr:.5f}', flush=True)
+                    wandb.log({'train/loss': train_loss,
+                               'train/grad_norm': grad_norm,
+                               'train/lr': lr, 'iter': global_step})
                 t0 = t1
                 train_loss = 0.0
 

@@ -155,3 +155,43 @@ def test_two_process_hala(tmp_path):
     ckpt = load_checkpoint(tmp_path / "exp" / "last.pt")
     assert ckpt["iter_num"] == 24
     assert np.isfinite(ckpt["val_loss"])
+
+
+def test_two_process_hac_sharded_checkpoint(tmp_path):
+    """Two-process hac CLI with --ckpt-format sharded: orbax saves are
+    collective, so BOTH processes must participate in the Checkpointer
+    (a master-only gate deadlocks process 0 inside sync_global_devices
+    — the bug this locks out). Asserts clean exit, a restorable orbax
+    checkpoint directory, and master-only logging."""
+    argv = [
+        sys.executable, "-m", "haloop_tpu.loop",
+        "--arch", "lstm-tiny:512", "--vocab", "512",
+        "--train", "head:sinusoids0", "--eval", "head:sinusoids0",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--lr", "1e-3", "--lr_schedule", "const",
+        "--clip-grad-norm", "10", "--exp", str(tmp_path / "exp"),
+        "--save", "last+best", "--ckpt-format", "sharded",
+        "--log-interval", "2", "--quiet",
+    ]
+    port = free_port()
+    procs = [subprocess.Popen(argv, env=multihost_env(port, pid),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True,
+                              cwd=Path(__file__).parent.parent)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"hac child failed:\n{out}\n{err[-3000:]}"
+
+    # the orbax directory round-trips on a fresh single-process load
+    from haloop_tpu.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(tmp_path / "exp" / "last.pt")
+    assert "encoder" in ckpt and "recognizer" in ckpt
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in ckpt["encoder"].values()
+               if hasattr(x, "shape"))
+
+    # master logs training progress lines; the worker prints only its
+    # own eval rows (train lines carry grad_norm, valid summaries don't)
+    assert "grad_norm:" in outs[0][1]
+    assert "grad_norm:" not in outs[1][1], outs[1][1][-1500:]
