@@ -37,9 +37,9 @@ def main():
     a = np.asarray(ref(x, w, t))
     for tn, tv in [(256, 1024), (512, 1024), (256, 2048), (512, 2048),
                    (1024, 1024)]:
-        fused = jax.jit(lambda x, w, t, tn=tn, tv=tv: __import__(
-            'haloop_tpu.ops.fused_ce', fromlist=['x'])._fused_ce_fwd_impl(
-                x, w, t, tn=tn, tv=tv)[0])
+        from haloop_tpu.ops.fused_ce import _fused_ce_fwd_impl
+        fused = jax.jit(lambda x, w, t, tn=tn, tv=tv: _fused_ce_fwd_impl(
+            x, w, t, tn=tn, tv=tv)[0])
         b = np.asarray(fused(x, w, t))
         err = np.max(np.abs(a - b))
         dt = bench(fused, x, w, t)

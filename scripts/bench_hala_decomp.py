@@ -2,7 +2,7 @@
 forward, forward+backward, CE fwd/bwd isolated (incl. a chunked-bwd
 variant that never materializes the full (N, V) dlogits), flash
 attention fwd+bwd vs the XLA materialized path, and full-step batch
-scaling — to find what binds the step beyond the measured 41% MFU
+scaling — to find what binds the step beyond the measured 46% MFU
 (PERFORMANCE.md "hala" section).
 
 Timing per the axon-tunnel rules (PERFORMANCE.md): every region closes

@@ -103,9 +103,10 @@ def main():
     # 512 sentences, lengths U[8, 72) (mean ~40), unsorted. Unpacked
     # pads each to the 64-wide bucket at B=256 rows (budget 16k);
     # packed fits the same real tokens into ~2.5x fewer device tokens.
-    lens = rng.integers(8, 72, 512)
-    real = int(lens.sum())
+    # lengths clamped to the bucket width: counting tokens beyond W
+    # as "real" would credit throughput for tokens never scored
     Bs, Ws = 256, 64
+    lens = rng.integers(8, Ws + 1, 512)
     ids_s = jnp.asarray(rng.integers(1, 50000, (Bs, Ws)).astype(np.int32))
     tgt_s = np.zeros((Bs, Ws), np.int32)
     for i in range(Bs):

@@ -7,6 +7,10 @@ import time
 
 import numpy as np
 import jax
+
+# hac's default dropout PRNG (loop.py --prng): threefry
+# costs ~15% of this step and would skew A/Bs vs bench.py
+jax.config.update('jax_default_prng_impl', 'rbg')
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")

@@ -1,4 +1,7 @@
-"""Validate the on-device decoders on real TPU vs CPU-computed outputs."""
+"""Smoke-run the on-device decoders on the real TPU backend (finite
+scores, expected shapes). Numerical host-vs-device equality lives in
+the test suite (tests/test_beam_device.py, tests/test_fusion_beam.py
+compare against the host dict algorithm exactly)."""
 
 import sys
 
@@ -28,9 +31,6 @@ def main():
     print("ctc beam: top scores finite:",
           bool(np.isfinite(scores[:, 0]).all()),
           "max:", float(scores[:, 0].max()), flush=True)
-
-    cpu = jax.devices("cpu")[0] if any(
-        d.platform == "cpu" for d in jax.devices()) else None
 
     # transducer decodes
     p = RE.transducer_init(jax.random.PRNGKey(1), feat_dim=64,
