@@ -255,3 +255,52 @@ def test_real_libflac_oracle(tmp_path):
         frames, sr, bps = decode_flac(open(path, "rb").read())
         assert (sr, bps) == (16000, 16)
         np.testing.assert_array_equal(frames.T, x.astype(np.int32))
+
+
+def test_decoder_survives_fuzzed_streams():
+    """Robustness of the C decoder: randomly corrupted FLAC bytes must
+    raise a clean Python error or decode to SOMETHING — never crash the
+    process (a segfault in the data loader kills training). Runs in a
+    subprocess so a crash fails the test instead of taking pytest down."""
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    x = (np.sin(np.arange(512) * 0.02) * 2000).astype(np.int64)[None]
+    data = bytearray(encode_flac(x, mode="fixed2", blocksize=128))
+
+    driver = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, %r)
+        import numpy as np
+        from haloop_tpu.native import decode_flac
+        data = bytearray(open(sys.argv[1], 'rb').read())
+        rng = np.random.default_rng(0)
+        ok = bad = 0
+        for trial in range(400):
+            buf = bytearray(data)
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256))
+            # also try truncations
+            if trial %% 5 == 0:
+                buf = buf[:int(rng.integers(4, len(buf)))]
+            try:
+                frames, sr, bps = decode_flac(bytes(buf))
+                assert np.isfinite(np.asarray(frames, np.float64)).all()
+                ok += 1
+            except Exception:
+                bad += 1
+        print("FUZZ-OK", ok, bad)
+    """) % str(Path(__file__).parent.parent)
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".flac", delete=False) as f:
+        f.write(bytes(data))
+        path = f.name
+    r = subprocess.run([sys.executable, "-c", driver, path],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"decoder crashed: rc={r.returncode}\n" \
+                              f"{r.stdout}\n{r.stderr[-2000:]}"
+    assert "FUZZ-OK" in r.stdout, r.stdout
