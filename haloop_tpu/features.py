@@ -73,9 +73,19 @@ def frame_signal(wav, frame_length=FRAME_LENGTH, frame_shift=FRAME_SHIFT):
 
 def fbank(wav, num_mel_bins=80, sr=SAMPLE_RATE, preemphasis=0.97,
           remove_dc_offset=True, use_log=True, eps=1.1921e-07):
-    """wav: (T,) or (1, T) float waveform in [-1, 1] scaled like kaldi
-    (values multiplied by 32768 internally). Returns (frames, bins)."""
-    wav = np.asarray(wav, np.float32).reshape(-1) * 32768.0
+    """wav: (T,) or (1, T) float waveform in [-1, 1]. Returns
+    (frames, bins).
+
+    Scale contract: the waveform is used AS GIVEN, matching the
+    reference pipeline exactly — torchaudio.load's normalized floats
+    fed straight into torchaudio.compliance.kaldi.fbank, which does
+    not rescale (ha/data.py:136-140). Kaldi *binaries* read int16
+    sample values; callers wanting compute-fbank-feats parity must
+    pre-multiply by 32768 themselves (constant +2*ln(32768) per
+    log-mel bin on non-floored frames). Keeping the reference's scale
+    is what makes acoustic checkpoints interchangeable across the two
+    frameworks."""
+    wav = np.asarray(wav, np.float32).reshape(-1)
     frames = frame_signal(wav)
     if remove_dc_offset:
         frames = frames - frames.mean(axis=1, keepdims=True)
@@ -183,7 +193,7 @@ def fbank_jax(wavs, wav_lengths, num_mel_bins=80):
     import jax.numpy as jnp
 
     N, T = wavs.shape
-    wavs = wavs * 32768.0
+    # same scale contract as fbank(): waveform used as given
     num_frames = max(0, 1 + (T - FRAME_LENGTH) // FRAME_SHIFT)
     idx = (jnp.arange(num_frames)[:, None] * FRAME_SHIFT +
            jnp.arange(FRAME_LENGTH)[None, :])
