@@ -72,6 +72,12 @@ def make_parser():
     parser.add_argument("--tensor-parallel", type=int, default=1,
                         help="shard attention/MLP over a 'model' mesh "
                              "axis of this size (Megatron layout)")
+    parser.add_argument("--pipeline-stages", type=int, default=1,
+                        help="GPipe-pipeline the block stack over a "
+                             "'pipe' mesh axis of this size; composes "
+                             "with data parallelism on the remaining "
+                             "devices (n_layer %% stages == 0, dropout "
+                             "0, single process)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--prng", choices=["rbg", "threefry"],
                         default="rbg",
@@ -127,6 +133,63 @@ def cast_tree(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def finish_update(tx, args, params, opt_state, grads, mean_loss):
+    """Shared update tail: grad norm, clip, NaN/Inf gate, optimizer.
+    (Reference skips the step on non-finite loss before stepping,
+    ha/attention_loop.py:209-214 / :221-228.)"""
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in jax.tree.leaves(grads)))
+    if args.grad_clip != 0.0:
+        scale = jnp.minimum(1.0, args.grad_clip / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+    ok = jnp.isfinite(mean_loss) & jnp.isfinite(gnorm)
+
+    def apply(operand):
+        params, opt_state, grads = operand
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def skip(operand):
+        params, opt_state, _ = operand
+        return params, opt_state
+
+    params, opt_state = jax.lax.cond(ok, apply, skip,
+                                     (params, opt_state, grads))
+    return params, opt_state, mean_loss, gnorm
+
+
+def make_pp_train_step(cfg, args, tx, compute_dtype, mesh):
+    """GPipe update: the block stack pipelined over the mesh's 'pipe'
+    axis (parallel/pipeline.py: ppermute stage hops, M + S - 1 ticks),
+    composed with data parallelism over 'data'. The accumulation
+    micro-steps ARE the pipeline microbatches — one backward through
+    the whole schedule, one optimizer update per call, same contract
+    as make_train_step. Dropout-free by construction (gated in main).
+
+    What this buys on real hardware: per-device BLOCK-stack weight and
+    optimizer traffic drops to L/S layers per stage; it is a memory
+    scaling surface (weight-stationary stages), not a latency win on
+    one host — see ROADMAP.md."""
+    ndata = mesh.shape['data']
+    data_axis = 'data' if ndata > 1 else None
+    from haloop_tpu.parallel.pipeline import pipeline_gpt_loss
+
+    def loss_fn(params, X, Y):
+        fparams = cast_tree(params, compute_dtype)
+        G_, B, T = X.shape
+        return pipeline_gpt_loss(
+            fparams, cfg, mesh, X.reshape(G_ * B, T),
+            Y.reshape(G_ * B, T), n_micro=G_, data_axis=data_axis)
+
+    def step(params, opt_state, X, Y, key):
+        del key              # no dropout on the pipeline path
+        loss, grads = jax.value_and_grad(loss_fn)(params, X, Y)
+        return finish_update(tx, args, params, opt_state, grads, loss)
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
@@ -227,11 +290,23 @@ def main():
     import numpy as _np
     from jax.sharding import Mesh
     tp = max(1, args.tensor_parallel)
+    pp = max(1, args.pipeline_stages)
     n_dev = len(jax.devices())
+    if tp > 1 and pp > 1:
+        raise SystemExit("--tensor-parallel and --pipeline-stages do not "
+                         "compose yet; pick one (both compose with data "
+                         "parallelism)")
     if tp > 1:
         assert n_dev % tp == 0, f"{n_dev} devices not divisible by tp={tp}"
         mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // tp, tp),
                     ("data", "model"))
+    elif pp > 1:
+        if n_dev % pp:
+            raise SystemExit(f"{n_dev} devices not divisible by "
+                             f"pipeline stages {pp}")
+        # pipe innermost: stage hops (ppermute) ride neighboring devices
+        mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // pp, pp),
+                    ("data", "pipe"))
     else:
         mesh = data_mesh()
     master = is_master()
@@ -283,6 +358,26 @@ def main():
         from haloop_tpu.parallel.tensor import shard_gpt_params
         params = shard_gpt_params(mesh, params)
 
+    if pp > 1:
+        if multi:
+            raise SystemExit("--pipeline-stages is single-process "
+                             "(stages shard over local devices); "
+                             "multi-process hala is data-parallel")
+        if cfg.n_layer % pp:
+            raise SystemExit(f"n_layer {cfg.n_layer} not divisible by "
+                             f"pipeline stages {pp}")
+        if cfg.dropout > 0:
+            raise SystemExit("--pipeline-stages trains without dropout; "
+                             "use a dropout-0 config")
+        if args.lora:
+            raise SystemExit("--pipeline-stages does not compose with "
+                             "--lora yet")
+        ndata = mesh.shape["data"]
+        if ndata > 1 and args.batch_size % ndata:
+            raise SystemExit(f"batch_size {args.batch_size} not "
+                             f"divisible by the data axis {ndata} of "
+                             f"the {n_dev}-device pipeline mesh")
+
     trainable_mask = None
     if args.lora:
         params = lora.attach_to_c_attn(params, jax.random.PRNGKey(7))
@@ -324,11 +419,16 @@ def main():
 
     # data-parallel meshes take the shard_map step (kernels active
     # per-shard); tensor-parallel and 1-device meshes, or batches that
-    # don't divide the mesh, take the plain-jit GSPMD step
-    dp_mesh = mesh if (tp == 1 and mesh.devices.size > 1 and
-                       (args.batch_size * pc) % n_dev == 0) else None
-    train_step = make_train_step(cfg, args, tx, compute_dtype,
-                                 mesh=dp_mesh)
+    # don't divide the mesh, take the plain-jit GSPMD step; pipeline
+    # meshes take the GPipe step
+    if pp > 1:
+        train_step = make_pp_train_step(cfg, args, tx, compute_dtype,
+                                        mesh)
+    else:
+        dp_mesh = mesh if (tp == 1 and mesh.devices.size > 1 and
+                           (args.batch_size * pc) % n_dev == 0) else None
+        train_step = make_train_step(cfg, args, tx, compute_dtype,
+                                     mesh=dp_mesh)
 
     fcast = partial(cast_tree, dtype=compute_dtype)
 
@@ -416,8 +516,10 @@ def main():
             from haloop_tpu.parallel.mesh import global_batch
             return global_batch(mesh, A, spec=P(None, 'data', None))
         A = jnp.asarray(A)
-        if len(mesh.devices.flat) > 1 and A.shape[1] % \
-                len(mesh.devices.flat) == 0:
+        # shard batch rows over the mesh's data axis (its full device
+        # set on 1-D meshes; the non-model/pipe dimension otherwise)
+        ndata = dict(zip(mesh.axis_names, mesh.devices.shape))['data']
+        if ndata > 1 and A.shape[1] % ndata == 0:
             return jax.device_put(A, NamedSharding(mesh,
                                                    P(None, 'data', None)))
         return A

@@ -31,13 +31,20 @@ def stack_blocks(blocks):
 
 
 def pipeline_blocks(mesh, cfg, stacked, x_micro, *, axis="pipe",
-                    block_apply):
+                    block_apply, data_axis=None):
     """Run the block stack as a pipeline.
 
     stacked: pytree with leading dim L (= n_layer), L % S == 0.
     x_micro: (M, mb, T, C) microbatched activations.
     block_apply(block_params, cfg, x) -> y  (single block, no dropout).
     Returns (M, mb, T, C) outputs, replicated across the pipe group.
+
+    data_axis: optional mesh axis to shard the microbatch rows (mb)
+    over — composes data parallelism with the pipeline: each data
+    group runs an independent copy of the schedule on its slice of
+    the rows while sharing the pipe-sharded blocks. Activations that
+    hop stages via ppermute stay within a data group (the ppermute
+    rides the 'pipe' mesh dimension only).
     """
     S = mesh.shape[axis]
     M = x_micro.shape[0]
@@ -85,9 +92,10 @@ def pipeline_blocks(mesh, cfg, stacked, x_micro, *, axis="pipe",
         outputs = jnp.where(idx == S - 1, outputs, jnp.zeros_like(outputs))
         return jax.lax.psum(outputs, axis)
 
-    specs_in = (jax.tree.map(lambda _: P(axis), grouped), P())
-    return _shard_map(stage, mesh=mesh, in_specs=specs_in, out_specs=P(),
-                      **_CHECK_KW)(grouped, x_micro)
+    x_spec = P(None, data_axis) if data_axis else P()
+    specs_in = (jax.tree.map(lambda _: P(axis), grouped), x_spec)
+    return _shard_map(stage, mesh=mesh, in_specs=specs_in,
+                      out_specs=x_spec, **_CHECK_KW)(grouped, x_micro)
 
 
 def gpt_block_apply_nodrop(block, cfg, x):
@@ -98,8 +106,13 @@ def gpt_block_apply_nodrop(block, cfg, x):
 
 
 def pipeline_gpt_loss(params, cfg, mesh, input_ids, target_ids,
-                      n_micro=4, axis="pipe"):
-    """Full GPT LM loss with the block stack pipelined over `axis`."""
+                      n_micro=4, axis="pipe", data_axis=None):
+    """Full GPT LM loss with the block stack pipelined over `axis`.
+
+    With ``data_axis`` set, batch rows additionally shard over that
+    mesh axis (dp x pp): embeddings / final LN / lm_head run under
+    GSPMD on the sharded batch; only the block-stack schedule runs
+    under shard_map. hala exposes this as ``--pipeline-stages N``."""
     from haloop_tpu.models import gpt as G
     from haloop_tpu.nn.core import layer_norm, linear
 
@@ -110,7 +123,8 @@ def pipeline_gpt_loss(params, cfg, mesh, input_ids, target_ids,
 
     stacked = stack_blocks(params["transformer"]["h"])
     y_micro = pipeline_blocks(mesh, cfg, stacked, x_micro, axis=axis,
-                              block_apply=gpt_block_apply_nodrop)
+                              block_apply=gpt_block_apply_nodrop,
+                              data_axis=data_axis)
     y = y_micro.reshape(B, T, cfg.n_embd)
     y = layer_norm(params["transformer"]["ln_f"], y)
     logits = linear(params["lm_head"], y).astype(jnp.float32)
