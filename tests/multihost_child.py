@@ -1,6 +1,6 @@
-"""Child process for the two-process virtual multi-host test
-(tests/test_multihost.py). Launched twice with JAX_PROCESS_ID 0/1, 4
-virtual CPU devices each; exercises the REAL multi-host code paths:
+"""Child process for the virtual multi-host tests
+(tests/test_multihost.py). Launched JAX_NUM_PROCESSES times (2x4dev and
+4x2dev configs); exercises the REAL multi-host code paths:
 maybe_init_distributed env rendezvous, DataLoader process_shard,
 global-batch assembly from per-process local data, the shard_map train
 step over the global mesh, process-0-gated checkpointing, and the
@@ -30,8 +30,10 @@ def main():
     report = {"pid": pid, "pc": pc,
               "global_devices": jax.device_count(),
               "local_devices": len(jax.local_devices())}
-    assert pc == 2, f"expected 2 processes, got {pc}"
-    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+    expected_pc = int(os.environ["JAX_NUM_PROCESSES"])
+    assert pc == expected_pc, f"expected {expected_pc} processes, got {pc}"
+    n_global = pc * len(jax.local_devices())
+    assert jax.device_count() == n_global
 
     from haloop_tpu.data import make_dataset
     from haloop_tpu.dataloader import Collator, DataLoader
@@ -44,9 +46,9 @@ def main():
     vocab = make_vocab("512")
     spec = create_model(args.arch)
     params = spec.init(jax.random.PRNGKey(0))
-    system = System(args, spec, params, vocab)   # auto global 8-dev mesh
+    system = System(args, spec, params, vocab)   # auto global mesh
     assert system.mesh is not None
-    assert system.mesh.devices.size == 8
+    assert system.mesh.devices.size == n_global
 
     # disjoint per-process dataset shards (DistributedSampler analog)
     loader = DataLoader(make_dataset("head:sinusoids0"), Collator(vocab),
@@ -59,7 +61,8 @@ def main():
     for step, batch in enumerate(loader):
         _, inputs, ct, il, tl = batch
         sharded = system.shard(inputs, ct, il, tl)
-        assert sharded[0].shape[0] == 8, sharded[0].shape  # global batch
+        # global batch: per-process rows x process count
+        assert sharded[0].shape[0] == 4 * pc, sharded[0].shape
         (system.params, system.opt_state, loss, gn, bad) = \
             system._train_step(system.params, system.opt_state, *sharded,
                                jax.random.PRNGKey(step), jnp.int32(step))
@@ -87,8 +90,9 @@ def main():
     report["eval_loss_finite"] = bool(np.isfinite(vloss))
     report["eval_rows"] = buf.getvalue().count("\thyp")
 
-    # lockstep ragged skip: batches of 3 x 2 processes don't divide the
-    # 8-device mesh; every host must skip every batch (no host may fall
+    # lockstep ragged skip: batches of 3 x pc processes (6 or 12 global
+    # rows) don't divide the 8-device mesh; every host must skip (no
+    # host may fall
     # into a local-jit step that would skip the allreduce and diverge
     # the replicated params — and no host may hang in a collective)
     ragged_loader = DataLoader(make_dataset("head:sinusoids0"),
