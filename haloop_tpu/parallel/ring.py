@@ -1,0 +1,99 @@
+"""Ring attention: sequence-parallel self-attention across the mesh
+(SURVEY.md §5.7's designed extension beyond reference parity; the math
+spec is the blockwise online-softmax of ha/transformer.py:374-410 —
+`attend_chunked` — lifted from query chunks on one device to KV chunks
+rotating around a mesh axis).
+
+Layout: q/k/v (B, H, T, D) with T sharded over the ring axis — each
+device owns T/n queries and starts with its own T/n keys/values. n
+ring steps: every step computes the local (Tq_local x Tkv_chunk)
+attention block and folds it into per-row online-softmax accumulators
+(m, s, o), then the KV chunk hops to the next device with
+``lax.ppermute`` (one ICI neighbor exchange, overlapped by XLA with
+the next step's matmuls). After n steps every query row has seen every
+key exactly once; no (T, T) tensor ever exists on any chip, and no
+gather of the full sequence happens anywhere.
+
+When it pays: T too long for one chip's HBM/VMEM comfort (activations
+scale T/n per device) or T^2 attention dominating the step — the
+per-step comm is 2 * B*H*(T/n)*D bf16 riding ICI while the MXU chews
+an equal-sized block. See PERFORMANCE.md "ring attention".
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+    _CHECK_KW = {"check_vma": False}
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = {"check_rep": False}
+
+NEG = -1e30
+
+
+def ring_self_attention(mesh, q, k, v, kv_lengths=None, axis="data"):
+    """Non-causal self-attention with the sequence axis sharded over
+    ``axis``. q/k/v: (B, H, T, D), T % mesh.shape[axis] == 0;
+    kv_lengths: optional (B,) valid-key counts (padding mask), global.
+    Returns (B, H, T, D), T sharded like the inputs.
+
+    Equivalent to ops.attention.attend / ops.flash at fp32 tolerance
+    (tests/test_parallel.py::test_ring_attention_matches_single_device).
+    """
+    n = mesh.shape[axis]
+    B, H, T, D = q.shape
+    assert T % n == 0, f"T={T} not divisible by ring size {n}"
+    Tc = T // n
+    scale = 1.0 / math.sqrt(D)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(q_l, k_l, v_l, lens):
+        idx = jax.lax.axis_index(axis)
+
+        def step(carry, r):
+            kc, vc, m, s, o = carry
+            # the chunk in hand after r hops originated on device idx-r
+            src = (idx - r) % n
+            scores = jnp.einsum(
+                "bhtd,bhsd->bhts", q_l, kc,
+                preferred_element_type=jnp.float32) * scale
+            if lens is not None:
+                col = src * Tc + jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 3)
+                scores = jnp.where(
+                    col < lens[:, None, None, None], scores, NEG)
+            m_new = jnp.maximum(m, jnp.max(scores, -1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            alpha = jnp.exp(m - m_new)
+            s = s * alpha + jnp.sum(p, -1, keepdims=True)
+            o = o * alpha + jnp.einsum(
+                "bhts,bhsd->bhtd", p.astype(q_l.dtype), vc,
+                preferred_element_type=jnp.float32)
+            kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
+            return (kc, vc, m_new, s, o), None
+
+        m0 = jnp.full((B, H, Tc, 1), NEG, jnp.float32)
+        s0 = jnp.zeros((B, H, Tc, 1), jnp.float32)
+        o0 = jnp.zeros((B, H, Tc, D), jnp.float32)
+        (_, _, _, s, o), _ = jax.lax.scan(
+            step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
+        # fully-masked rows (kv_length 0): harmless zeros, not NaN
+        return (o / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)) \
+            .astype(q_l.dtype)
+
+    seq = P(None, None, axis, None)
+    lens_spec = P() if kv_lengths is not None else None
+    if kv_lengths is None:
+        fn = _shard_map(functools.partial(body, lens=None), mesh=mesh,
+                        in_specs=(seq, seq, seq), out_specs=seq,
+                        **_CHECK_KW)
+        return fn(q, k, v)
+    fn = _shard_map(body, mesh=mesh, in_specs=(seq, seq, seq, lens_spec),
+                    out_specs=seq, **_CHECK_KW)
+    return fn(q, k, v, kv_lengths)

@@ -330,3 +330,53 @@ def test_hac_beam_decode_on_mesh(capsys):
     assert np.isfinite(loss)
     for tag in ('\thyp0\t', '\tref\t', '\tali0\t', '\tstat0\t'):
         assert tag in out, tag
+
+
+def test_ring_attention_matches_single_device():
+    """Sequence-parallel ring attention over the 8-device mesh equals
+    single-device flash/attend at fp32 tolerance, with and without
+    kv_lengths padding masks, and differentiates (VERDICT r3 item 8)."""
+    need_devices(8)
+    from haloop_tpu.ops.attention import attend
+    from haloop_tpu.ops.flash import flash_attention
+    from haloop_tpu.parallel.ring import ring_self_attention
+
+    B, H, T, D = 2, 2, 512, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    lens = jnp.asarray([T, T - 200], jnp.int32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    seq_sh = NamedSharding(mesh, P(None, None, "data", None))
+    qs, ks, vs = (jax.device_put(x, seq_sh) for x in (q, k, v))
+
+    # no mask
+    with mesh:
+        out = jax.jit(lambda q, k, v: ring_self_attention(
+            mesh, q, k, v))(qs, ks, vs)
+    ref, _ = attend(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # kv_lengths padding mask: vs the flash kernel's masking semantics
+    with mesh:
+        out_m = jax.jit(lambda q, k, v, l: ring_self_attention(
+            mesh, q, k, v, kv_lengths=l))(qs, ks, vs, lens)
+    ref_m = flash_attention(q, k, v, kv_lengths=lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the ring (scan + ppermute transpose)
+    def loss(q):
+        return jnp.sum(ring_self_attention(mesh, q, ks, vs) ** 2)
+
+    def ref_loss(q):
+        return jnp.sum(attend(q, k, v)[0] ** 2)
+
+    with mesh:
+        g = jax.jit(jax.grad(loss))(qs)
+    g_ref = jax.grad(ref_loss)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
