@@ -78,6 +78,14 @@ def make_parser():
                              "with data parallelism on the remaining "
                              "devices (n_layer %% stages == 0, dropout "
                              "0, single process)")
+    parser.add_argument("--sequence-parallel", type=int, default=1,
+                        help="shard the time axis over a 'seq' mesh "
+                             "axis of this size: attention runs as a "
+                             "KV-rotating ring (long-context surface; "
+                             "activations scale T/N per device); "
+                             "composes with data parallelism on the "
+                             "remaining devices (block_size %% N == 0, "
+                             "single process)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--prng", choices=["rbg", "threefry"],
                         default="rbg",
@@ -192,6 +200,68 @@ def make_pp_train_step(cfg, args, tx, compute_dtype, mesh):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
+    """Sequence-parallel update: the TIME axis shards over the mesh's
+    'seq' axis and attention runs as a KV-rotating ring
+    (parallel/ring.ring_attend_local — SURVEY §5.7's extension beyond
+    the reference, which has no sequence parallelism at all), composed
+    with data parallelism over 'data'. Per-device activations and KV
+    scale T/n_seq: this is the long-context surface — block sizes whose
+    (B, T, C) activations or T^2 attention don't fit one chip train
+    across the ring, with only 2*B*H*(T/n)*D bf16 per hop riding ICI.
+
+    Contract matches make_train_step: micro-batch grad accumulation,
+    clip, NaN gate, AdamW; positions are global (shard offset + local
+    iota) so wpe AND rotary models see single-device semantics; loss
+    terms psum over 'seq' (each shard's grad covers its local tokens'
+    pathways — the ring's ppermute transpose routes cross-shard KV
+    cotangents home — so the 'seq' grad reduction is a SUM, then the
+    usual data-parallel pmean)."""
+    from jax import shard_map
+    from haloop_tpu.ops import dispatch
+    nseq = mesh.shape['seq']
+    ndata = mesh.shape['data']
+
+    def loss_terms(params, x, y, key):
+        fparams = cast_tree(params, compute_dtype)
+        Tc = x.shape[-1]
+        pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
+        nll = G.forward_all(fparams, cfg, x, y, reduction='none',
+                            key=key, train=cfg.dropout > 0,
+                            positions=pos, seq_ring=('seq', nseq))
+        s = jax.lax.psum(jnp.sum(nll), 'seq')
+        c = jax.lax.psum(jnp.sum(y != 0), 'seq')
+        return s / jnp.maximum(c, 1)
+
+    def sp_step(params, opt_state, X, Y, key):
+        with dispatch.force_local():
+            key = jax.random.fold_in(key, jax.lax.axis_index('data'))
+            key = jax.random.fold_in(key, jax.lax.axis_index('seq'))
+
+            def micro(grads, xyk):
+                x, y, k = xyk
+                loss, g = jax.value_and_grad(loss_terms)(params, x, y, k)
+                return jax.tree.map(jnp.add, grads, g), loss
+
+            keys = jax.random.split(key, X.shape[0])
+            zero = jax.tree.map(jnp.zeros_like, params)
+            grads, losses = jax.lax.scan(micro, zero, (X, Y, keys))
+            grads = jax.tree.map(lambda g: g / X.shape[0], grads)
+            mean_loss = jnp.mean(losses)     # already global over 'seq'
+            grads = jax.lax.psum(grads, 'seq')
+            if ndata > 1:
+                grads = jax.lax.pmean(grads, 'data')
+                mean_loss = jax.lax.pmean(mean_loss, 'data')
+            return finish_update(tx, args, params, opt_state, grads,
+                                 mean_loss)
+
+    R, B3 = P(), P(None, 'data', 'seq')
+    return jax.jit(shard_map(sp_step, mesh=mesh,
+                             in_specs=(R, R, B3, B3, R),
+                             out_specs=(R, R, R, R), check_vma=False),
+                   donate_argnums=(0, 1))
+
+
 def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
     """One jitted update: scan over micro-batches accumulating grads,
     clip, AdamW. Batch arrays are sharded over the data mesh outside.
@@ -291,10 +361,12 @@ def main():
     from jax.sharding import Mesh
     tp = max(1, args.tensor_parallel)
     pp = max(1, args.pipeline_stages)
+    sp = max(1, args.sequence_parallel)
     n_dev = len(jax.devices())
-    if tp > 1 and pp > 1:
-        raise SystemExit("--tensor-parallel and --pipeline-stages do not "
-                         "compose yet; pick one (both compose with data "
+    if sum(x > 1 for x in (tp, pp, sp)) > 1:
+        raise SystemExit("--tensor-parallel / --pipeline-stages / "
+                         "--sequence-parallel do not compose with each "
+                         "other yet; pick one (each composes with data "
                          "parallelism)")
     if tp > 1:
         assert n_dev % tp == 0, f"{n_dev} devices not divisible by tp={tp}"
@@ -307,6 +379,13 @@ def main():
         # pipe innermost: stage hops (ppermute) ride neighboring devices
         mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // pp, pp),
                     ("data", "pipe"))
+    elif sp > 1:
+        if n_dev % sp:
+            raise SystemExit(f"{n_dev} devices not divisible by "
+                             f"sequence-parallel size {sp}")
+        # seq innermost: the ring's KV ppermute rides ICI neighbors
+        mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // sp, sp),
+                    ("data", "seq"))
     else:
         mesh = data_mesh()
     master = is_master()
@@ -316,10 +395,11 @@ def main():
         # the reference's distributed surface is DDP-in-hala only
         # (ha/attention_loop.py:67-80); multi-process here is likewise
         # data-parallel: the global batch is assembled across hosts
-        if tp > 1:
-            raise SystemExit("--tensor-parallel across processes is not "
-                             "supported; multi-process hala is data-"
-                             "parallel (the reference's DDP surface)")
+        if tp > 1 or sp > 1:
+            raise SystemExit("--tensor-parallel/--sequence-parallel "
+                             "across processes is not supported; multi-"
+                             "process hala is data-parallel (the "
+                             "reference's DDP surface)")
         if (args.batch_size * pc) % n_dev:
             raise SystemExit(
                 f"batch_size {args.batch_size} x {pc} processes does not "
@@ -378,6 +458,16 @@ def main():
                              f"divisible by the data axis {ndata} of "
                              f"the {n_dev}-device pipeline mesh")
 
+    if sp > 1:
+        if args.block_size % sp:
+            raise SystemExit(f"block_size {args.block_size} not "
+                             f"divisible by --sequence-parallel {sp}")
+        ndata = mesh.shape["data"]
+        if ndata > 1 and args.batch_size % ndata:
+            raise SystemExit(f"batch_size {args.batch_size} not "
+                             f"divisible by the data axis {ndata} of "
+                             f"the {n_dev}-device sequence-parallel mesh")
+
     trainable_mask = None
     if args.lora:
         params = lora.attach_to_c_attn(params, jax.random.PRNGKey(7))
@@ -423,6 +513,9 @@ def main():
     # meshes take the GPipe step
     if pp > 1:
         train_step = make_pp_train_step(cfg, args, tx, compute_dtype,
+                                        mesh)
+    elif sp > 1:
+        train_step = make_sp_train_step(cfg, args, tx, compute_dtype,
                                         mesh)
     else:
         dp_mesh = mesh if (tp == 1 and mesh.devices.size > 1 and

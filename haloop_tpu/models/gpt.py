@@ -114,11 +114,15 @@ def _embed(p, cfg, input_ids, t0, key=None, train=False, positions=None):
 
 
 def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
-          train=False, positions=None, segment_ids=None):
+          train=False, positions=None, segment_ids=None, seq_ring=None):
     """Fused qkv self-attention. past: optional dict with fixed-size
     cache {"k","v" (B, nh, block, hs), "length" scalar}.
     segment_ids (B, T): packed rows — tokens attend only within their
-    own segment (block-diagonal x causal), 0 marks padding."""
+    own segment (block-diagonal x causal), 0 marks padding.
+    seq_ring: optional (axis_name, n) — the sequence axis is sharded
+    over that mesh axis of an ENCLOSING shard_map and attention runs
+    as a KV-rotating ring (parallel/ring.ring_attend_local); the
+    caller must pass global ``positions`` for this shard's chunk."""
     B, T, C = x.shape
     nh, hs = cfg.n_head, cfg.n_embd // cfg.n_head
     if "lora_A" in p["c_attn"]:
@@ -136,9 +140,19 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
         k = rotate_interleaved(k, t0=t0, positions=positions)
 
     if past is None:
-        from haloop_tpu.ops.attention import mha
-        y, ent = mha(q, k, v, causal=cfg.causal, segment_ids=segment_ids,
-                     measure_entropy=measure_entropy)
+        if seq_ring is not None:
+            assert segment_ids is None and not measure_entropy, \
+                "sequence-parallel attention: no packing/entropy"
+            from haloop_tpu.parallel.ring import ring_attend_local
+            ring_axis, ring_n = seq_ring
+            y = ring_attend_local(q, k, v, axis=ring_axis, n=ring_n,
+                                  causal=cfg.causal)
+            ent = jnp.float32(-jnp.inf)
+        else:
+            from haloop_tpu.ops.attention import mha
+            y, ent = mha(q, k, v, causal=cfg.causal,
+                         segment_ids=segment_ids,
+                         measure_entropy=measure_entropy)
         present = (k, v)
     else:
         # write the new keys at fill position, attend over the window
@@ -166,14 +180,15 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
 
 
 def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
-                 key=None, train=False, positions=None, segment_ids=None):
+                 key=None, train=False, positions=None, segment_ids=None,
+                 seq_ring=None):
     k1 = k2 = None
     if key is not None:
         k1, k2 = jax.random.split(key)
     a, ent, present = _attn(p["attn"], cfg, layer_norm(p["ln_1"], x),
                             past=past, t0=t0, measure_entropy=measure_entropy,
                             key=k1, train=train, positions=positions,
-                            segment_ids=segment_ids)
+                            segment_ids=segment_ids, seq_ring=seq_ring)
     x = x + a
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x))
     h = linear(p["mlp"]["c_proj"], new_gelu(h))
@@ -183,7 +198,7 @@ def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
 
 def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
            measure_entropy=False, activation_spec=None, positions=None,
-           segment_ids=None):
+           segment_ids=None, seq_ring=None):
     """activation_spec: optional jax.sharding.PartitionSpec constraining
     hidden activations between blocks — e.g. P('data', 'model', None)
     shards the SEQUENCE axis over the model-parallel group in the
@@ -207,7 +222,8 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
                                        measure_entropy=measure_entropy,
                                        key=kb, train=train,
                                        positions=positions,
-                                       segment_ids=segment_ids)
+                                       segment_ids=segment_ids,
+                                       seq_ring=seq_ring)
         presents.append(present)
         entropies.append(ent)
     x = layer_norm(p["transformer"]["ln_f"], x)
@@ -216,16 +232,21 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
 
 def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
                 train=False, activation_spec=None, positions=None,
-                segment_ids=None):
+                segment_ids=None, seq_ring=None):
     """Teacher-forced loss over all positions; CE ignore_index=0
     (reference ha/attention.py:205-232).
 
     positions/segment_ids: packed-row scoring (hap --pack) — several
     sentences share a row, attention is block-diagonal x causal and
-    learned/rotary positions restart at each segment start."""
+    learned/rotary positions restart at each segment start.
+
+    seq_ring: (axis_name, n) sequence parallelism — input_ids/target_ids
+    are this shard's T-chunk inside an enclosing shard_map, attention
+    rings KV over the axis, and the returned reduction is LOCAL (the
+    caller psums; hala --sequence-parallel does)."""
     x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
                      activation_spec=activation_spec, positions=positions,
-                     segment_ids=segment_ids)
+                     segment_ids=segment_ids, seq_ring=seq_ring)
     from haloop_tpu.ops.dispatch import use_pallas
     from haloop_tpu.ops.fused_ce import pick_tv
     B, T = target_ids.shape

@@ -14,10 +14,21 @@ the next step's matmuls). After n steps every query row has seen every
 key exactly once; no (T, T) tensor ever exists on any chip, and no
 gather of the full sequence happens anywhere.
 
+``causal=True`` masks by GLOBAL position (row = ring_index*Tc + local
+row, col = chunk origin*Tc + local col), so the result equals
+single-device causal attention on the unsharded sequence. The ring
+schedule delivers the diagonal chunk FIRST (hop r carries the chunk
+that originated on device idx-r), so the running max is finite from
+step 0 and fully-masked future chunks contribute exp(-inf - m) = 0.
+Future chunks still occupy MXU ticks (masked, not skipped) — causal
+ring does ~2x the useful FLOPs; the win is memory (T/n activations
+and KV per chip), not arithmetic.
+
 When it pays: T too long for one chip's HBM/VMEM comfort (activations
 scale T/n per device) or T^2 attention dominating the step — the
 per-step comm is 2 * B*H*(T/n)*D bf16 riding ICI while the MXU chews
-an equal-sized block. See PERFORMANCE.md "ring attention".
+an equal-sized block. See PERFORMANCE.md "ring attention". User
+surface: ``hala --sequence-parallel N`` (attention_loop.py).
 """
 
 import functools
@@ -37,63 +48,84 @@ except ImportError:                      # older jax
 NEG = -1e30
 
 
-def ring_self_attention(mesh, q, k, v, kv_lengths=None, axis="data"):
-    """Non-causal self-attention with the sequence axis sharded over
-    ``axis``. q/k/v: (B, H, T, D), T % mesh.shape[axis] == 0;
+def ring_attend_local(q_l, k_l, v_l, *, axis, n, causal=False, lens=None):
+    """The per-shard ring body: call INSIDE an enclosing shard_map whose
+    mesh has ``axis`` of size ``n``. q_l/k_l/v_l: (B, H, Tc, D) — this
+    shard's contiguous T-chunk (global rows idx*Tc..(idx+1)*Tc-1).
+    lens: optional (B,) GLOBAL valid-key counts (padding mask).
+    Returns the local (B, H, Tc, D) attention output.
+
+    Exposed separately from :func:`ring_self_attention` so model code
+    that already runs under shard_map (e.g. gpt._attn on the hala
+    --sequence-parallel path) can drop it in where ``ops.attention.mha``
+    would run on one device.
+    """
+    B, H, Tc, D = q_l.shape
+    scale = 1.0 / math.sqrt(D)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    idx = jax.lax.axis_index(axis)
+
+    def step(carry, r):
+        kc, vc, m, s, o = carry
+        # the chunk in hand after r hops originated on device idx-r
+        src = (idx - r) % n
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", q_l, kc,
+            preferred_element_type=jnp.float32) * scale
+        col = src * Tc + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 3)
+        if lens is not None:
+            scores = jnp.where(
+                col < lens[:, None, None, None], scores, NEG)
+        if causal:
+            row = idx * Tc + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 2)
+            scores = jnp.where(col <= row, scores, NEG)
+        m_new = jnp.maximum(m, jnp.max(scores, -1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        s = s * alpha + jnp.sum(p, -1, keepdims=True)
+        o = o * alpha + jnp.einsum(
+            "bhts,bhsd->bhtd", p.astype(q_l.dtype), vc,
+            preferred_element_type=jnp.float32)
+        kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
+        return (kc, vc, m_new, s, o), None
+
+    m0 = jnp.full((B, H, Tc, 1), NEG, jnp.float32)
+    s0 = jnp.zeros((B, H, Tc, 1), jnp.float32)
+    o0 = jnp.zeros((B, H, Tc, D), jnp.float32)
+    (_, _, _, s, o), _ = jax.lax.scan(
+        step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
+    # fully-masked rows (kv_length 0): harmless zeros, not NaN
+    return (o / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)) \
+        .astype(q_l.dtype)
+
+
+def ring_self_attention(mesh, q, k, v, kv_lengths=None, axis="data",
+                        causal=False):
+    """Self-attention with the sequence axis sharded over ``axis``.
+    q/k/v: (B, H, T, D), T % mesh.shape[axis] == 0;
     kv_lengths: optional (B,) valid-key counts (padding mask), global.
     Returns (B, H, T, D), T sharded like the inputs.
 
     Equivalent to ops.attention.attend / ops.flash at fp32 tolerance
-    (tests/test_parallel.py::test_ring_attention_matches_single_device).
+    (tests/test_parallel.py::test_ring_attention_matches_single_device,
+    ::test_ring_attention_causal).
     """
     n = mesh.shape[axis]
-    B, H, T, D = q.shape
+    T = q.shape[2]
     assert T % n == 0, f"T={T} not divisible by ring size {n}"
-    Tc = T // n
-    scale = 1.0 / math.sqrt(D)
-    perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(q_l, k_l, v_l, lens):
-        idx = jax.lax.axis_index(axis)
-
-        def step(carry, r):
-            kc, vc, m, s, o = carry
-            # the chunk in hand after r hops originated on device idx-r
-            src = (idx - r) % n
-            scores = jnp.einsum(
-                "bhtd,bhsd->bhts", q_l, kc,
-                preferred_element_type=jnp.float32) * scale
-            if lens is not None:
-                col = src * Tc + jax.lax.broadcasted_iota(
-                    jnp.int32, scores.shape, 3)
-                scores = jnp.where(
-                    col < lens[:, None, None, None], scores, NEG)
-            m_new = jnp.maximum(m, jnp.max(scores, -1, keepdims=True))
-            p = jnp.exp(scores - m_new)
-            alpha = jnp.exp(m - m_new)
-            s = s * alpha + jnp.sum(p, -1, keepdims=True)
-            o = o * alpha + jnp.einsum(
-                "bhts,bhsd->bhtd", p.astype(q_l.dtype), vc,
-                preferred_element_type=jnp.float32)
-            kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
-            return (kc, vc, m_new, s, o), None
-
-        m0 = jnp.full((B, H, Tc, 1), NEG, jnp.float32)
-        s0 = jnp.zeros((B, H, Tc, 1), jnp.float32)
-        o0 = jnp.zeros((B, H, Tc, D), jnp.float32)
-        (_, _, _, s, o), _ = jax.lax.scan(
-            step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
-        # fully-masked rows (kv_length 0): harmless zeros, not NaN
-        return (o / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)) \
-            .astype(q_l.dtype)
+        return ring_attend_local(q_l, k_l, v_l, axis=axis, n=n,
+                                 causal=causal, lens=lens)
 
     seq = P(None, None, axis, None)
-    lens_spec = P() if kv_lengths is not None else None
     if kv_lengths is None:
         fn = _shard_map(functools.partial(body, lens=None), mesh=mesh,
                         in_specs=(seq, seq, seq), out_specs=seq,
                         **_CHECK_KW)
         return fn(q, k, v)
-    fn = _shard_map(body, mesh=mesh, in_specs=(seq, seq, seq, lens_spec),
+    fn = _shard_map(body, mesh=mesh, in_specs=(seq, seq, seq, P()),
                     out_specs=seq, **_CHECK_KW)
     return fn(q, k, v, kv_lengths)

@@ -1,0 +1,80 @@
+"""hala --sequence-parallel through the real CLI: ring-attention
+sequence sharding must train to the same losses as the plain
+single-mesh step at float tolerance, pure (seq=8) and composed with
+data parallelism (2 data x 4 seq), on the 8-virtual-device mesh.
+(Sequence parallelism is the SURVEY §5.7 extension — the reference has
+no such surface; parity is against OUR plain step's math.)"""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+
+
+def run_hala(tmp_path, train_bin, *extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run(
+        [sys.executable, "-m", "haloop_tpu.attention_loop",
+         "--arch", "gpt-nano:256:64", "--train", str(train_bin),
+         "--batch_size", "8", "--block_size", "64",
+         "--gradient_accumulation_steps", "2", "--max_iters", "3",
+         "--save", "none", "--exp", str(tmp_path / "exp"),
+         "--dtype", "float32", "--lr_schedule", "const"] + list(extra),
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO)
+
+
+def losses(stdout):
+    return [float(m) for m in re.findall(r"iter \d+: loss (\d+\.\d+)",
+                                         stdout)]
+
+
+def test_sequence_parallel_cli_matches_plain(tmp_path):
+    rng = np.random.default_rng(0)
+    # tokens 1..255: token 0 is the loss pad/ignore id, so every shard
+    # carries equal valid-token counts and the seq-psum'd mean equals
+    # the global mean exactly (loss comparability at float tolerance)
+    train = rng.integers(1, 256, 64 * 8 * 2 * 4, dtype=np.uint16)
+    train.tofile(tmp_path / "train.bin")
+
+    plain = run_hala(tmp_path, tmp_path / "train.bin")
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    l_plain = losses(plain.stdout)
+    assert len(l_plain) >= 3, plain.stdout
+    # params are actually updating (not a frozen-params false pass)
+    assert l_plain[0] != l_plain[-1]
+
+    # pure sequence parallelism: T shards over all 8 devices
+    sp8 = run_hala(tmp_path, tmp_path / "train.bin",
+                   "--sequence-parallel", "8")
+    assert sp8.returncode == 0, sp8.stderr[-2000:]
+    np.testing.assert_allclose(losses(sp8.stdout), l_plain, rtol=2e-4)
+
+    # composed with data parallelism: 2 data x 4 seq
+    sp4 = run_hala(tmp_path, tmp_path / "train.bin",
+                   "--sequence-parallel", "4")
+    assert sp4.returncode == 0, sp4.stderr[-2000:]
+    np.testing.assert_allclose(losses(sp4.stdout), l_plain, rtol=2e-4)
+
+
+def test_sequence_parallel_guards(tmp_path):
+    rng = np.random.default_rng(1)
+    train = rng.integers(1, 256, 64 * 8 * 4, dtype=np.uint16)
+    train.tofile(tmp_path / "train.bin")
+
+    # device divisibility: 8 % 3 != 0
+    r = run_hala(tmp_path, tmp_path / "train.bin",
+                 "--sequence-parallel", "3")
+    assert r.returncode != 0
+    assert "divisible" in (r.stderr + r.stdout)
+
+    # no composition with the other model-parallel axes
+    r = run_hala(tmp_path, tmp_path / "train.bin",
+                 "--sequence-parallel", "2", "--tensor-parallel", "2")
+    assert r.returncode != 0
+    assert "compose" in (r.stderr + r.stdout)

@@ -380,3 +380,93 @@ def test_ring_attention_matches_single_device():
     g_ref = jax.grad(ref_loss)(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ring_attention_causal():
+    """Causal ring attention (global-position masking; the diagonal
+    chunk arrives first, so the running max is finite from step 0)
+    equals single-device causal attention."""
+    need_devices(8)
+    from haloop_tpu.ops.attention import mha
+    from haloop_tpu.parallel.ring import ring_self_attention
+
+    B, H, T, D = 2, 2, 256, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    seq_sh = NamedSharding(mesh, P(None, None, "data", None))
+    qs, ks, vs = (jax.device_put(x, seq_sh) for x in (q, k, v))
+    with mesh:
+        out = jax.jit(lambda q, k, v: ring_self_attention(
+            mesh, q, k, v, causal=True))(qs, ks, vs)
+    ref, _ = mha(q, k, v, causal=True, use_flash="never")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # grads through the causal masks + ppermute transpose
+    def loss(q):
+        return jnp.sum(ring_self_attention(mesh, q, ks, vs,
+                                            causal=True) ** 2)
+
+    def ref_loss(q):
+        return jnp.sum(mha(q, k, v, causal=True, use_flash="never")[0]
+                       ** 2)
+
+    with mesh:
+        g = jax.jit(jax.grad(loss))(qs)
+    g_ref = jax.grad(ref_loss)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("rotary", [0, 8], ids=["wpe", "rotary"])
+def test_forward_all_seq_ring_matches_single_device(rotary):
+    """GPT forward_all under sequence sharding (seq_ring + global
+    positions, the hala --sequence-parallel compute path) equals the
+    unsharded loss — values AND parameter grads (psum over 'seq')."""
+    need_devices(8)
+    from jax import shard_map
+
+    cfg = G.GPTConfig(block_size=64, vocab_size=32, n_layer=2, n_head=2,
+                      n_embd=16, rotary_emb_dim=rotary,
+                      stable_embedding=bool(rotary))
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 32, (4, 64)))
+    tgt = jnp.asarray(rng.integers(1, 32, (4, 64)))
+
+    def ref_loss(p):
+        return G.forward_all(p, cfg, ids, tgt)
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+
+    def local_loss(p, x, y):
+        Tc = x.shape[-1]
+        pos = jax.lax.axis_index("seq") * Tc + jnp.arange(Tc)
+        nll = G.forward_all(p, cfg, x, y, reduction="none",
+                            positions=pos, seq_ring=("seq", n))
+        s = jax.lax.psum(jnp.sum(nll), "seq")
+        c = jax.lax.psum(jnp.sum(y != 0), "seq")
+        return s / jnp.maximum(c, 1)
+
+    S = P(None, "seq")
+    sharded = shard_map(local_loss, mesh=mesh, in_specs=(P(), S, S),
+                        out_specs=P(), check_vma=False)
+    loss = float(jax.jit(sharded)(params, ids, tgt))
+    np.testing.assert_allclose(loss, float(ref_loss(params)), rtol=1e-5)
+
+    def sp_loss(p):
+        return sharded(p, ids, tgt)
+
+    # differentiating THROUGH the shard_map: the transpose of the
+    # replicated (P()) param input psums each shard's partial cotangent,
+    # so the grads must equal the dense single-device grads
+    g_sp = jax.jit(jax.grad(sp_loss))(params)
+    g_ref = jax.grad(ref_loss)(params)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
