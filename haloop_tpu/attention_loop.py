@@ -525,11 +525,36 @@ def main():
 
     fcast = partial(cast_tree, dtype=compute_dtype)
 
-    @jax.jit
-    def eval_step(params, x, y):
-        loss = G.forward_all(fcast(params), cfg, x, y, reduction='sum')
-        count = jnp.sum(y > 0)
-        return loss, count
+    if sp > 1:
+        # eval must honor the same T/N per-device scaling the flag
+        # exists for — a plain-jit eval would rebuild the full-T
+        # activations on one chip at exactly the block sizes
+        # --sequence-parallel is chosen to make fit
+        from jax import shard_map
+        from haloop_tpu.ops import dispatch as _dispatch
+
+        def eval_local(params, x, y):
+            with _dispatch.force_local():
+                Tc = x.shape[-1]
+                pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
+                nll = G.forward_all(fcast(params), cfg, x, y,
+                                    reduction='none', positions=pos,
+                                    seq_ring=('seq', mesh.shape['seq']))
+                loss = jax.lax.psum(jnp.sum(nll), ('data', 'seq'))
+                count = jax.lax.psum(jnp.sum(y > 0), ('data', 'seq'))
+                return loss, count
+
+        eval_step = jax.jit(shard_map(
+            eval_local, mesh=mesh,
+            in_specs=(P(), P('data', 'seq'), P('data', 'seq')),
+            out_specs=(P(), P()), check_vma=False))
+    else:
+        @jax.jit
+        def eval_step(params, x, y):
+            loss = G.forward_all(fcast(params), cfg, x, y,
+                                 reduction='sum')
+            count = jnp.sum(y > 0)
+            return loss, count
 
     def eval_ship(a):
         """Multi-process: each host contributes ITS rows of the global

@@ -34,6 +34,10 @@ def losses(stdout):
                                          stdout)]
 
 
+def val_losses(stdout):
+    return [float(m) for m in re.findall(r"val loss (\d+\.\d+)", stdout)]
+
+
 def test_sequence_parallel_cli_matches_plain(tmp_path):
     rng = np.random.default_rng(0)
     # tokens 1..255: token 0 is the loss pad/ignore id, so every shard
@@ -41,25 +45,55 @@ def test_sequence_parallel_cli_matches_plain(tmp_path):
     # the global mean exactly (loss comparability at float tolerance)
     train = rng.integers(1, 256, 64 * 8 * 2 * 4, dtype=np.uint16)
     train.tofile(tmp_path / "train.bin")
+    rng.integers(1, 256, 64 * 8, dtype=np.uint16).tofile(
+        tmp_path / "val.bin")
+    eval_args = ("--eval", str(tmp_path / "val.bin"),
+                 "--eval-interval", "2")
 
-    plain = run_hala(tmp_path, tmp_path / "train.bin")
+    plain = run_hala(tmp_path, tmp_path / "train.bin", *eval_args)
     assert plain.returncode == 0, plain.stderr[-2000:]
-    l_plain = losses(plain.stdout)
-    assert len(l_plain) >= 3, plain.stdout
+    l_plain, v_plain = losses(plain.stdout), val_losses(plain.stdout)
+    assert len(l_plain) >= 3 and len(v_plain) >= 1, plain.stdout
     # params are actually updating (not a frozen-params false pass)
     assert l_plain[0] != l_plain[-1]
 
-    # pure sequence parallelism: T shards over all 8 devices
-    sp8 = run_hala(tmp_path, tmp_path / "train.bin",
+    # pure sequence parallelism: T shards over all 8 devices (train
+    # AND eval run sequence-sharded — eval must honor the same T/N
+    # memory scaling)
+    sp8 = run_hala(tmp_path, tmp_path / "train.bin", *eval_args,
                    "--sequence-parallel", "8")
     assert sp8.returncode == 0, sp8.stderr[-2000:]
     np.testing.assert_allclose(losses(sp8.stdout), l_plain, rtol=2e-4)
+    np.testing.assert_allclose(val_losses(sp8.stdout), v_plain,
+                               rtol=2e-4)
 
     # composed with data parallelism: 2 data x 4 seq
-    sp4 = run_hala(tmp_path, tmp_path / "train.bin",
+    sp4 = run_hala(tmp_path, tmp_path / "train.bin", *eval_args,
                    "--sequence-parallel", "4")
     assert sp4.returncode == 0, sp4.stderr[-2000:]
     np.testing.assert_allclose(losses(sp4.stdout), l_plain, rtol=2e-4)
+    np.testing.assert_allclose(val_losses(sp4.stdout), v_plain,
+                               rtol=2e-4)
+
+
+def test_sequence_parallel_composes_with_lora(tmp_path):
+    """LoRA adapters are token-local (low-rank linears on the qkv
+    projection), so they shard over 'seq' like any activation math;
+    the masked optimizer must train them to the same losses as the
+    unsharded LoRA step."""
+    rng = np.random.default_rng(2)
+    train = rng.integers(1, 256, 64 * 8 * 2 * 4, dtype=np.uint16)
+    train.tofile(tmp_path / "train.bin")
+
+    plain = run_hala(tmp_path, tmp_path / "train.bin", "--lora")
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    l_plain = losses(plain.stdout)
+    assert len(l_plain) >= 3, plain.stdout
+
+    sp = run_hala(tmp_path, tmp_path / "train.bin", "--lora",
+                  "--sequence-parallel", "8")
+    assert sp.returncode == 0, sp.stderr[-2000:]
+    np.testing.assert_allclose(losses(sp.stdout), l_plain, rtol=2e-4)
 
 
 def test_sequence_parallel_guards(tmp_path):
