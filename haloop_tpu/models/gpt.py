@@ -251,7 +251,8 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
     from haloop_tpu.ops.fused_ce import pick_tv
     B, T = target_ids.shape
     if (use_pallas() and cfg.vocab_size >= 4096
-            and "bias" not in p["lm_head"] and activation_spec is None
+            and "bias" not in p["lm_head"] and "qscale" not in p["lm_head"]
+            and activation_spec is None
             and pick_tv(x.shape[-1], x.dtype.itemsize) is not None):
         # fused lm_head+CE kernel: the (B, T, V) logits never hit HBM
         # (ops/fused_ce.py; the GPT-2-vocab scoring hot spot)
@@ -286,6 +287,14 @@ def lm_logits(p, x):
     return linear(p["lm_head"], x)
 
 
+def param_dtype(p):
+    """Activation dtype implied by a GPT param tree: lm_head's weight
+    dtype — or its per-channel qscale's when the weight is int8
+    weight-only quantized (quant.py); k/v activations are always fp."""
+    lm = p["lm_head"]
+    return lm["qscale"].dtype if "qscale" in lm else lm["weight"].dtype
+
+
 def init_cache(cfg, batch, dtype=jnp.float32, size=None):
     """Fixed-size KV cache pytree (static shapes for jit)."""
     size = size or cfg.block_size
@@ -303,7 +312,7 @@ def forward(p, cfg, input_ids, past=None):
         # cache dtype must match the params' k/v activations —
         # dynamic_update_slice rejects a float32 cache under bf16 params
         past = init_cache(cfg, input_ids.shape[0],
-                          dtype=p["lm_head"]["weight"].dtype)
+                          dtype=param_dtype(p))
     x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
     logits = linear(p["lm_head"], x[:, -1:, :])
     return logits, presents
@@ -366,7 +375,7 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
     B, T0 = input_ids.shape
     assert B == 1, "speculative decoding is a single-stream path"
     K = draft_len
-    cache = init_cache(cfg, 1, dtype=p["lm_head"]["weight"].dtype)
+    cache = init_cache(cfg, 1, dtype=param_dtype(p))
     # jitted prefill: a bare forward() here would dispatch the whole
     # trunk op-by-op once per prompt (hundreds of device calls)
     logits, cache = _spec_prefill_jit(cfg)(p, input_ids, cache)
@@ -462,7 +471,7 @@ def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
     B, T0 = input_ids.shape
     if key is None:
         key = jax.random.PRNGKey(0)
-    cache = init_cache(cfg, B, dtype=p["lm_head"]["weight"].dtype)
+    cache = init_cache(cfg, B, dtype=param_dtype(p))
     logits, cache = forward(p, cfg, input_ids, past=cache)
 
     def sample(logits, key):

@@ -37,6 +37,11 @@ def linear_init(key, in_features, out_features, bias=True, std=None):
 
 def linear(p, x):
     y = x @ p["weight"].T.astype(x.dtype)
+    if "qscale" in p:
+        # weight-only int8 (quant.py): int8 bytes cross HBM, the
+        # convert fuses into the dot's operand read, the per-output-
+        # channel scale into the epilogue
+        y = y * p["qscale"].astype(x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -70,7 +75,12 @@ def embedding(p, ids):
     # (3.7 ms for 8k GPT-2-vocab tokens — FASTER than a one-hot matmul
     # formulation, measured with single-scalar fetches; beware per-leaf
     # host fetches skewing microbenchmarks through the remote tunnel).
-    return jnp.take(p["weight"], ids, axis=0, mode="clip")
+    e = jnp.take(p["weight"], ids, axis=0, mode="clip")
+    if "qscale" in p:
+        # tied int8 lm_head used as wte (quant.py): scale per vocab row
+        s = jnp.take(p["qscale"], ids, axis=0, mode="clip")
+        e = e.astype(s.dtype) * s[..., None]
+    return e
 
 
 def conv1d_init(key, in_channels, out_channels, kernel_size, bias=True, groups=1):

@@ -56,6 +56,13 @@ def main():
                              "per verify call than prompt lookup on "
                              "non-repetitive text; output stays exact "
                              "greedy)")
+    parser.add_argument('--q8', action='store_true',
+                        help="weight-only int8: the big matmul weights "
+                             "(c_attn/c_proj/c_fc/lm_head) stream int8 "
+                             "over HBM with per-channel scales — decode "
+                             "is bandwidth-bound, so this trades ~0.3%% "
+                             "per-weight rounding for the byte halving "
+                             "(quant.py; exact bf16 stays the default)")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')
@@ -98,6 +105,12 @@ def main():
     if not cfg.causal:
         print('This model is bidirectional: treating __ as mask token',
               file=sys.stderr)
+
+    if args.q8:
+        # quantize BEFORE the dtype cast: int8 weights are left alone
+        # by the cast, the fp32 qscales become bf16 with the rest
+        from haloop_tpu.quant import quantize_gpt_params
+        params = quantize_gpt_params(params)
 
     if args.dtype == 'bfloat16':
         params = jax.tree.map(

@@ -169,6 +169,15 @@ def main():
                              "padding cost ~0 at any length "
                              "distribution; --no-pack falls back to "
                              "row-per-sentence batching")
+    parser.add_argument('--q8', action='store_true',
+                        help="weight-only int8 matmul weights with "
+                             "per-channel scales (quant.py; NLLs shift "
+                             "by the quantization error — exact bf16 "
+                             "stays the default). Note: scoring "
+                             "throughput is fused-CE-kernel-bound, so "
+                             "--q8 pays off for MEMORY (a 2x bigger "
+                             "model per chip), not speed; the fused "
+                             "kernel needs fp weights and falls back")
     parser.add_argument('ckpt_path')
     args = parser.parse_args()
 
@@ -176,6 +185,10 @@ def main():
     cfg = spec.config
     assert cfg.causal
     encode, id_to_piece = make_tokenizer(args)
+
+    if args.q8:
+        from haloop_tpu.quant import quantize_gpt_params
+        params = quantize_gpt_params(params)
 
     if args.dtype == 'bfloat16':
         params = jax.tree.map(
