@@ -36,12 +36,26 @@ def linear_init(key, in_features, out_features, bias=True, std=None):
 
 
 def linear(p, x):
-    y = x @ p["weight"].T.astype(x.dtype)
     if "qscale" in p:
-        # weight-only int8 (quant.py): int8 bytes cross HBM, the
-        # convert fuses into the dot's operand read, the per-output-
-        # channel scale into the epilogue
-        y = y * p["qscale"].astype(x.dtype)
+        # weight-only int8 (quant.py). Decode-sized row counts take
+        # the Pallas kernel: the int8 bytes are what streams from HBM
+        # (XLA hoists the int8->bf16 convert out of decode scans and
+        # re-streams bf16 copies — measured 1.02x; the kernel restores
+        # the byte halving, ops/q8_matmul.py). Larger row counts are
+        # MXU-bound and keep the exact XLA epilogue form.
+        from haloop_tpu.ops.q8_matmul import q8_matmul, wants_kernel
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if wants_kernel(x2, p["weight"]):
+            y = q8_matmul(x2, p["weight"], p["qscale"]) \
+                .reshape(*lead, -1)
+        else:
+            y = (x @ p["weight"].T.astype(x.dtype)) * \
+                p["qscale"].astype(x.dtype)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(x.dtype)
+        return y
+    y = x @ p["weight"].T.astype(x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y

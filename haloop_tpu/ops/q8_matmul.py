@@ -1,0 +1,108 @@
+"""Pallas int8-weight matmul: y = (x @ w_q.T) * scale.
+
+Why a kernel: single-stream GPT decode re-reads every weight per token
+and is HBM-bandwidth-bound, so int8 weights should run ~2x bf16 — but
+expressing the dequant as ``x @ w_q.astype(bf16).T`` in XLA does NOT
+deliver it: the convert is loop-invariant inside the decode
+``lax.scan``, XLA hoists it and materializes bf16 copies once, and the
+per-token HBM traffic is bf16 again (measured 1.02x on GPT-2S decode —
+scripts/bench_hat_q8.py). Here the int8 tile is what the DMA streams
+from HBM; the VPU converts it in VMEM right before the MXU dot, and
+nothing bf16-sized ever exists in HBM.
+
+Inference-only (weight-only quantization has no training story);
+no VJP on purpose. Dispatched by nn.core.linear for small-M matmuls
+over int8 weights (the decode shape); everything else keeps the XLA
+epilogue form, which is exact and fuses fine at large M where the
+matmul is MXU-bound anyway.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from haloop_tpu.ops.ctc_pallas import _interp, _round_up
+
+# decode shapes: beyond this many rows the matmul turns MXU-bound and
+# the XLA path (which fuses the convert into large tiled matmuls
+# without a per-step HBM penalty outside scans) is the simpler choice
+MAX_ROWS = 64
+
+
+def _kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, out_dtype):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # the int8 bytes crossed HBM; convert in VMEM, feed the MXU
+    w = w_ref[:].astype(x_ref.dtype)                     # (BN, BK)
+    acc_ref[:] += jnp.dot(x_ref[:], w.T,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] *
+                      s_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+def _pick_bk(KP):
+    for bk in (768, 512, 384, 256, 128):
+        if KP % bk == 0:
+            return bk
+    return None
+
+
+def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
+    """x (M, K) bf16/f32, w_q (N, K) int8, scale (N,) fp -> (M, N) in
+    x.dtype. Equals ``(x @ w_q.T.astype(f32)) * scale`` at fp32
+    accumulation (tests/test_quant.py::test_q8_matmul_kernel)."""
+    M, K = x.shape
+    N = w_q.shape[0]
+    KP = _round_up(K, 128)
+    bk = _pick_bk(KP)
+    assert bk is not None
+    MP = _round_up(M, 16)
+    NP = _round_up(N, bn)
+    if KP != K:
+        x = jnp.pad(x, ((0, 0), (0, KP - K)))
+        w_q = jnp.pad(w_q, ((0, 0), (0, KP - K)))
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    if NP != N:
+        w_q = jnp.pad(w_q, ((0, NP - N), (0, 0)))
+        scale = jnp.pad(scale, (0, NP - N))
+    s2 = scale.astype(jnp.float32)[None, :]              # (1, NP)
+
+    grid = (NP // bn, KP // bk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, out_dtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((MP, bk), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MP, bn), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((MP, NP), x.dtype),
+        scratch_shapes=[pltpu.VMEM((MP, bn), jnp.float32)],
+        interpret=_interp(interpret),
+    )(x, w_q, s2)
+    return out[:M, :N]
+
+
+def wants_kernel(x2, w):
+    """Dispatch gate for nn.core.linear: int8 weights, a decode-sized
+    row count, TPU kernels on, and a tileable K."""
+    from haloop_tpu.ops.dispatch import use_pallas
+    return (w.dtype == jnp.int8 and x2.shape[0] <= MAX_ROWS
+            and _pick_bk(_round_up(x2.shape[1], 128)) is not None
+            and use_pallas())

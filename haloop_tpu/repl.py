@@ -58,11 +58,15 @@ def main():
                              "greedy)")
     parser.add_argument('--q8', action='store_true',
                         help="weight-only int8: the big matmul weights "
-                             "(c_attn/c_proj/c_fc/lm_head) stream int8 "
-                             "over HBM with per-channel scales — decode "
-                             "is bandwidth-bound, so this trades ~0.3%% "
-                             "per-weight rounding for the byte halving "
-                             "(quant.py; exact bf16 stays the default)")
+                             "(c_attn/c_proj/c_fc/lm_head) live int8 in "
+                             "HBM with per-channel scales — a MEMORY "
+                             "feature (~2x the model per chip; a Pallas "
+                             "kernel keeps decode residency truly int8"
+                             "). At GPT-2S size decode runs 0.69x (the "
+                             "kernel-call overhead outweighs the byte "
+                             "saving — PERFORMANCE.md); the gap closes "
+                             "as weight bytes grow. ~0.3%% per-weight "
+                             "rounding; exact bf16 stays the default")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')

@@ -132,6 +132,41 @@ def test_q8_kv_cache_decode_matches_q8_teacher_forcing():
     assert (np.asarray(toks) >= 0).all() and (np.asarray(toks) < 64).all()
 
 
+def test_q8_matmul_kernel():
+    """Pallas int8-weight matmul (interpret mode) equals the dequant
+    epilogue formula at fp32 accumulation, across decode shapes incl.
+    ragged M/N/K padding."""
+    from haloop_tpu.ops.q8_matmul import q8_matmul
+    rng = np.random.default_rng(5)
+    for m, k, n in [(1, 768, 2304), (8, 768, 1024), (16, 384, 768),
+                    (3, 100, 300)]:
+        w = jnp.asarray(rng.normal(size=(n, k)) * 0.02, jnp.float32)
+        q, s = quant.quantize_weight(w)
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        got = q8_matmul(x, q, s, interpret=True)
+        want = (x @ quant.dequantize({"weight": q, "qscale": s}).T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5), (m, k, n)
+
+
+def test_linear_dispatches_q8_kernel(monkeypatch):
+    """With kernels forced on, nn.core.linear routes decode-sized int8
+    matmuls through the Pallas kernel and the result matches the XLA
+    epilogue path."""
+    monkeypatch.setenv("HALOOP_KERNELS", "1")
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    q, s = quant.quantize_weight(w)
+    x = jnp.asarray(rng.normal(size=(2, 4, 128)), jnp.float32)
+    p = {"weight": q, "qscale": s}
+    got = linear(p, x)                       # kernel path (M=8 <= 64)
+    monkeypatch.setenv("HALOOP_KERNELS", "0")
+    want = linear(p, x)                      # XLA epilogue path
+    assert got.shape == (2, 4, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def run_cli(cmd, **kw):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
