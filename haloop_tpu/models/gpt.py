@@ -251,14 +251,23 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
     from haloop_tpu.ops.fused_ce import pick_tv
     B, T = target_ids.shape
     if (use_pallas() and cfg.vocab_size >= 4096
-            and "bias" not in p["lm_head"] and "qscale" not in p["lm_head"]
-            and activation_spec is None
+            and "bias" not in p["lm_head"] and activation_spec is None
             and pick_tv(x.shape[-1], x.dtype.itemsize) is not None):
         # fused lm_head+CE kernel: the (B, T, V) logits never hit HBM
         # (ops/fused_ce.py; the GPT-2-vocab scoring hot spot)
         from haloop_tpu.ops.fused_ce import fused_ce_nll
+        w = p["lm_head"]["weight"]
+        if "qscale" in p["lm_head"]:
+            # scoring is batched (MXU-bound): dequantize ONCE at the
+            # jit level — XLA hoists it out of any batch loop, which
+            # is exactly right here (unlike single-stream decode,
+            # where the same hoist voids --q8's memory point;
+            # PERFORMANCE.md). Keeps hap --q8 on the fused kernel
+            # instead of falling back to materialized logits.
+            w = w.astype(x.dtype) * \
+                p["lm_head"]["qscale"].astype(x.dtype)[:, None]
         nll = fused_ce_nll(
-            x.reshape(B * T, -1), p["lm_head"]["weight"],
+            x.reshape(B * T, -1), w,
             target_ids.reshape(B * T).astype(jnp.int32)).reshape(B, T)
     else:
         logits = linear(p["lm_head"], x).astype(jnp.float32)

@@ -167,6 +167,27 @@ def test_linear_dispatches_q8_kernel(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_forward_all_q8_keeps_fused_ce(monkeypatch):
+    """hap --q8 must not lose the fused lm_head+CE kernel: the
+    quantized lm_head is dequantized once at the jit level and the
+    fused path produces the same NLLs as the XLA fallback."""
+    cfg = G.GPTConfig(block_size=16, vocab_size=4096, n_layer=1,
+                      n_head=2, n_embd=128)
+    params = G.gpt_init(jax.random.PRNGKey(1), cfg)
+    qp = quant.quantize_gpt_params(params)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 4096, (2, 16)))
+    tgt = jnp.asarray(rng.integers(1, 4096, (2, 16)))
+
+    monkeypatch.setenv("HALOOP_KERNELS", "1")   # fused CE (interpret)
+    fused = np.asarray(G.forward_all(qp, cfg, ids, tgt,
+                                     reduction="none"))
+    monkeypatch.setenv("HALOOP_KERNELS", "0")   # XLA logsumexp path
+    plain = np.asarray(G.forward_all(qp, cfg, ids, tgt,
+                                     reduction="none"))
+    np.testing.assert_allclose(fused, plain, rtol=1e-4, atol=1e-4)
+
+
 def run_cli(cmd, **kw):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
