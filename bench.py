@@ -174,8 +174,35 @@ def main():
     secondary("hac rnn-transducer:lstm:512 train throughput (B=16)",
               lambda: time_system_step('rnn-transducer:lstm:512',
                                        16, 1200, 24), "utt/sec")
+    def hat_decode_tokens_per_sec(new=128):
+        """GPT-2 Small single-stream decode (hat's path): one jitted
+        prefill + lax.scan program per call."""
+        from haloop_tpu.models import gpt as G
+        cfg = G.GPTConfig(block_size=1024, vocab_size=50304, n_layer=12,
+                          n_head=12, n_embd=768)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            G.gpt_init(jax.random.PRNGKey(0), cfg))
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(1, 50257, (1, 32)))
+
+        @jax.jit
+        def gen(p, ids):
+            return G.generate(p, cfg, ids, max_new_tokens=new, top_k=1)
+
+        np.asarray(gen(params, ids)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(gen(params, ids)[0])
+            best = min(best, time.perf_counter() - t0)
+        return new / best
+
     secondary("hap GPT-2S packed scoring (16x1024, segment-masked)",
               hap_packed_tokens_per_sec, "real tokens/sec")
+    secondary("hat GPT-2S decode (B=1, jitted prefill+scan)",
+              hat_decode_tokens_per_sec, "tokens/sec")
 
     # headline LAST: the driver tail-parses this line
     utt_per_sec = time_system_step('lstm:512', 48, 1200, 40, feat_dim=80)

@@ -50,11 +50,23 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, out_dtype):
                       s_ref[:].astype(jnp.float32)).astype(out_dtype)
 
 
-def _pick_bk(KP):
-    for bk in (768, 512, 384, 256, 128):
-        if KP % bk == 0:
-            return bk
-    return None
+def _pick_bk(K):
+    """(bk, padded_K): K tiles must be large — a 64 KB DMA per grid
+    step starves the pipeline (measured: GPT-2 XL's K=1600 forced
+    bk=128 under a divisor-only rule and decode dropped to 0.54x;
+    whole-K tiles run 365 GB/s at the 9.8B scale). Whole K when it
+    fits VMEM comfortably; otherwise the 128-multiple in [1024, 2048]
+    that wastes the least zero-padding."""
+    KP = _round_up(K, 128)
+    if KP <= 2048:
+        return KP, KP
+    best = None
+    for bk in range(1024, 2049, 128):
+        padded = _round_up(KP, bk)
+        key = (padded - KP, -bk)
+        if best is None or key < best[0]:
+            best = (key, bk, padded)
+    return best[1], best[2]
 
 
 def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
@@ -63,9 +75,7 @@ def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
     accumulation (tests/test_quant.py::test_q8_matmul_kernel)."""
     M, K = x.shape
     N = w_q.shape[0]
-    KP = _round_up(K, 128)
-    bk = _pick_bk(KP)
-    assert bk is not None
+    bk, KP = _pick_bk(K)
     MP = _round_up(M, 16)
     NP = _round_up(N, bn)
     if KP != K:
@@ -101,8 +111,7 @@ def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
 
 def wants_kernel(x2, w):
     """Dispatch gate for nn.core.linear: int8 weights, a decode-sized
-    row count, TPU kernels on, and a tileable K."""
+    row count, TPU kernels on (every K is tileable — _pick_bk pads)."""
     from haloop_tpu.ops.dispatch import use_pallas
     return (w.dtype == jnp.int8 and x2.shape[0] <= MAX_ROWS
-            and _pick_bk(_round_up(x2.shape[1], 128)) is not None
             and use_pallas())

@@ -61,12 +61,12 @@ def main():
                              "(c_attn/c_proj/c_fc/lm_head) live int8 in "
                              "HBM with per-channel scales — a MEMORY "
                              "feature (~2x the model per chip; a Pallas "
-                             "kernel keeps decode residency truly int8"
-                             "). At GPT-2S size decode runs 0.69x (the "
-                             "kernel-call overhead outweighs the byte "
-                             "saving — PERFORMANCE.md); the gap closes "
-                             "as weight bytes grow. ~0.3%% per-weight "
-                             "rounding; exact bf16 stays the default")
+                             "kernel keeps decode residency truly int8: "
+                             "a 9.8B model that cannot exist bf16 on "
+                             "one chip decodes at 57 tok/s). Small "
+                             "models pay a per-kernel-call tax (GPT-2S "
+                             "0.91x — PERFORMANCE.md). ~0.3%% per-"
+                             "weight rounding; exact bf16 is default")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')

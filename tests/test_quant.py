@@ -139,7 +139,7 @@ def test_q8_matmul_kernel():
     from haloop_tpu.ops.q8_matmul import q8_matmul
     rng = np.random.default_rng(5)
     for m, k, n in [(1, 768, 2304), (8, 768, 1024), (16, 384, 768),
-                    (3, 100, 300)]:
+                    (3, 100, 300), (16, 1600, 512), (4, 6400, 256)]:
         w = jnp.asarray(rng.normal(size=(n, k)) * 0.02, jnp.float32)
         q, s = quant.quantize_weight(w)
         x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
