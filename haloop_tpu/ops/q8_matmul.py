@@ -39,9 +39,15 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, out_dtype):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # the int8 bytes crossed HBM; convert in VMEM, feed the MXU
+    # the int8 bytes crossed HBM; convert in VMEM, feed the MXU.
+    # fp32 operands need explicit HIGHEST precision: Mosaic's default
+    # runs fp32 dots as single-pass bf16 (measured 0.8% error on TPU
+    # where XLA's own fp32 matmul gives 3e-7); bf16 operands take the
+    # native MXU path either way
     w = w_ref[:].astype(x_ref.dtype)                     # (BN, BK)
-    acc_ref[:] += jnp.dot(x_ref[:], w.T,
+    prec = jax.lax.Precision.HIGHEST \
+        if x_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    acc_ref[:] += jnp.dot(x_ref[:], w.T, precision=prec,
                           preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(1) - 1)
@@ -79,14 +85,18 @@ def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
     MP = _round_up(M, 16)
     NP = _round_up(N, bn)
     if KP != K:
+        # pad only the ACTIVATIONS (per-step, tiny). The weights stay
+        # unpadded on purpose: a jnp.pad here would be loop-invariant
+        # inside decode scans and XLA would hoist a second, padded
+        # int8 copy of every unaligned weight into HBM for the whole
+        # program (r4 review). Trailing w/scale blocks read out of
+        # bounds instead — int8 garbage is finite (no NaN encoding)
+        # and meets x's ZERO K-padding, so ragged-K contributions are
+        # exactly 0; ragged-N rows land past N and are sliced off.
         x = jnp.pad(x, ((0, 0), (0, KP - K)))
-        w_q = jnp.pad(w_q, ((0, 0), (0, KP - K)))
     if MP != M:
         x = jnp.pad(x, ((0, MP - M), (0, 0)))
-    if NP != N:
-        w_q = jnp.pad(w_q, ((0, NP - N), (0, 0)))
-        scale = jnp.pad(scale, (0, NP - N))
-    s2 = scale.astype(jnp.float32)[None, :]              # (1, NP)
+    s2 = scale.astype(jnp.float32)[None, :]              # (1, N)
 
     grid = (NP // bn, KP // bk)
     out = pl.pallas_call(

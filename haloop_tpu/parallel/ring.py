@@ -96,9 +96,14 @@ def ring_attend_local(q_l, k_l, v_l, *, axis, n, causal=False, lens=None):
     o0 = jnp.zeros((B, H, Tc, D), jnp.float32)
     (_, _, _, s, o), _ = jax.lax.scan(
         step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
-    # fully-masked rows (kv_length 0): harmless zeros, not NaN
-    return (o / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)) \
-        .astype(q_l.dtype)
+    out = o / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    if lens is not None:
+        # rows with NO valid key would otherwise softmax uniformly
+        # over the masked scores (exp(NEG - NEG) == 1 — NEG is finite)
+        # and return the mean of V; force the zero rows the padding
+        # contract promises
+        out = jnp.where(lens[:, None, None, None] > 0, out, 0.0)
+    return out.astype(q_l.dtype)
 
 
 def ring_self_attention(mesh, q, k, v, kv_lengths=None, axis="data",

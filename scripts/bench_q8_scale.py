@@ -85,6 +85,14 @@ def weight_gb(p):
                for x in jax.tree.leaves(p)) / 2 ** 30
 
 
+def bf16_gb(cfg):
+    """Analytic bf16 weight bytes — no device allocation needed just
+    to print why a config is q8-only."""
+    E, L, V = cfg.n_embd, cfg.n_layer, cfg.vocab_size
+    per_block = 12 * E * E + 6 * E          # 4 matmuls + 2 biasless LN
+    return 2 * (L * per_block + V * E + cfg.block_size * E + E) / 2 ** 30
+
+
 NEW = 32
 
 
@@ -109,8 +117,8 @@ for name, (cfg, try_bf16) in CONFIGS.items():
     for tag, quantized in (("bf16", False), ("q8", True)):
         if not quantized and not try_bf16:
             print(f"{name} bf16: not attempted "
-                  f"(~{2 * weight_gb(make_params(cfg, True)):.1f} GB "
-                  f"bf16-equivalent > HBM)", flush=True)
+                  f"(~{bf16_gb(cfg):.1f} GB bf16-equivalent > HBM)",
+                  flush=True)
             continue
         p = make_params(cfg, quantized)
         gb = weight_gb(p)

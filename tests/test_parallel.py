@@ -382,6 +382,27 @@ def test_ring_attention_matches_single_device():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_ring_attention_zero_length_rows_are_zero():
+    """kv_length 0 must produce ZERO output rows — with a finite NEG
+    mask value, exp(NEG - NEG) == 1 and a fully-masked row would
+    otherwise return the mean of V (caught by the r4 review)."""
+    need_devices(8)
+    from haloop_tpu.parallel.ring import ring_self_attention
+
+    B, H, T, D = 2, 2, 64, 16
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+               for _ in range(3))
+    lens = jnp.asarray([0, T], jnp.int32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with mesh:
+        out = jax.jit(lambda q, k, v, l: ring_self_attention(
+            mesh, q, k, v, kv_lengths=l))(q, k, v, lens)
+    out = np.asarray(out)
+    assert (out[0] == 0.0).all()
+    assert np.abs(out[1]).sum() > 0
+
+
 def test_ring_attention_causal():
     """Causal ring attention (global-position masking; the diagonal
     chunk arrives first, so the running max is finite from step 0)
