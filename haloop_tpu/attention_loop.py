@@ -143,6 +143,28 @@ def cast_tree(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def accumulate_micro_grads(loss_fn, params, X, Y, key):
+    """THE gradient-accumulation scan — one jitted update's worth of
+    (G, B, T) micro-batches pushed through ``value_and_grad(loss_fn)``
+    with grads summed in-place and averaged. Every hala step factory
+    (plain/dp, sequence-parallel) routes through this one body, so a
+    change to the micro-step semantics lands exactly once (the
+    reference likewise keeps ONE micro-batching loop,
+    ha/attention_loop.py:196-203). Returns (mean grads, mean loss);
+    cross-device reductions are the CALLER's job (they differ per
+    mesh layout)."""
+    def micro(grads, xyk):
+        x, y, k = xyk
+        loss, g = jax.value_and_grad(loss_fn)(params, x, y, k)
+        return jax.tree.map(jnp.add, grads, g), loss
+
+    keys = jax.random.split(key, X.shape[0])
+    zero = jax.tree.map(jnp.zeros_like, params)
+    grads, losses = jax.lax.scan(micro, zero, (X, Y, keys))
+    grads = jax.tree.map(lambda g: g / X.shape[0], grads)
+    return grads, jnp.mean(losses)
+
+
 def finish_update(tx, args, params, opt_state, grads, mean_loss):
     """Shared update tail: grad norm, clip, NaN/Inf gate, optimizer.
     (Reference skips the step on non-finite loss before stepping,
@@ -200,6 +222,21 @@ def make_pp_train_step(cfg, args, tx, compute_dtype, mesh):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def sp_local_nll(cfg, compute_dtype, nseq, params, x, y, key=None,
+                 train=False):
+    """This shard's per-token NLL on the sequence-parallel path: global
+    positions (shard offset + local iota, so wpe AND rotary models see
+    single-device semantics) and ring attention over 'seq'. Shared by
+    the sp train micro-step and the sp eval — the two must agree on the
+    sharded forward's construction, so it exists once."""
+    fparams = cast_tree(params, compute_dtype)
+    Tc = x.shape[-1]
+    pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
+    return G.forward_all(fparams, cfg, x, y, reduction='none', key=key,
+                         train=train, positions=pos,
+                         seq_ring=('seq', nseq))
+
+
 def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
     """Sequence-parallel update: the TIME axis shards over the mesh's
     'seq' axis and attention runs as a KV-rotating ring
@@ -223,12 +260,8 @@ def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
     ndata = mesh.shape['data']
 
     def loss_terms(params, x, y, key):
-        fparams = cast_tree(params, compute_dtype)
-        Tc = x.shape[-1]
-        pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
-        nll = G.forward_all(fparams, cfg, x, y, reduction='none',
-                            key=key, train=cfg.dropout > 0,
-                            positions=pos, seq_ring=('seq', nseq))
+        nll = sp_local_nll(cfg, compute_dtype, nseq, params, x, y,
+                           key=key, train=cfg.dropout > 0)
         s = jax.lax.psum(jnp.sum(nll), 'seq')
         c = jax.lax.psum(jnp.sum(y != 0), 'seq')
         return s / jnp.maximum(c, 1)
@@ -237,17 +270,8 @@ def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
         with dispatch.force_local():
             key = jax.random.fold_in(key, jax.lax.axis_index('data'))
             key = jax.random.fold_in(key, jax.lax.axis_index('seq'))
-
-            def micro(grads, xyk):
-                x, y, k = xyk
-                loss, g = jax.value_and_grad(loss_terms)(params, x, y, k)
-                return jax.tree.map(jnp.add, grads, g), loss
-
-            keys = jax.random.split(key, X.shape[0])
-            zero = jax.tree.map(jnp.zeros_like, params)
-            grads, losses = jax.lax.scan(micro, zero, (X, Y, keys))
-            grads = jax.tree.map(lambda g: g / X.shape[0], grads)
-            mean_loss = jnp.mean(losses)     # already global over 'seq'
+            grads, mean_loss = accumulate_micro_grads(
+                loss_terms, params, X, Y, key)  # loss global over 'seq'
             grads = jax.lax.psum(grads, 'seq')
             if ndata > 1:
                 grads = jax.lax.pmean(grads, 'data')
@@ -286,47 +310,15 @@ def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
             # shard index is global), unlike a per-process seed which
             # would diverge the replicated params
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-
-        def micro(grads, xyk):
-            x, y, k = xyk
-            loss, g = jax.value_and_grad(loss_fn)(params, x, y, k)
-            return jax.tree.map(jnp.add, grads, g), loss
-
-        keys = jax.random.split(key, X.shape[0])
-        zero = jax.tree.map(jnp.zeros_like, params)
-        grads, losses = jax.lax.scan(micro, zero, (X, Y, keys))
-        gsteps = X.shape[0]
-        grads = jax.tree.map(lambda g: g / gsteps, grads)
-        mean_loss = jnp.mean(losses)
+        grads, mean_loss = accumulate_micro_grads(
+            loss_fn, params, X, Y, key)
         if axis is not None:
             # DDP allreduce; every shard then applies the identical
             # clip + update to its replicated params
             grads = jax.lax.pmean(grads, axis)
             mean_loss = jax.lax.pmean(mean_loss, axis)
-
-        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-                             for g in jax.tree.leaves(grads)))
-        if args.grad_clip != 0.0:
-            scale = jnp.minimum(1.0, args.grad_clip / (gnorm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-
-        # NaN/Inf guard inside jit (reference skips the optimizer step
-        # before stepping, ha/attention_loop.py:209-214): a non-finite
-        # loss or grad norm leaves params and opt_state untouched.
-        ok = jnp.isfinite(mean_loss) & jnp.isfinite(gnorm)
-
-        def apply(operand):
-            params, opt_state, grads = operand
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        def skip(operand):
-            params, opt_state, _ = operand
-            return params, opt_state
-
-        params, opt_state = jax.lax.cond(ok, apply, skip,
-                                         (params, opt_state, grads))
-        return params, opt_state, mean_loss, gnorm
+        return finish_update(tx, args, params, opt_state, grads,
+                             mean_loss)
 
     if mesh is not None:
         from jax import shard_map
@@ -535,11 +527,8 @@ def main():
 
         def eval_local(params, x, y):
             with _dispatch.force_local():
-                Tc = x.shape[-1]
-                pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
-                nll = G.forward_all(fcast(params), cfg, x, y,
-                                    reduction='none', positions=pos,
-                                    seq_ring=('seq', mesh.shape['seq']))
+                nll = sp_local_nll(cfg, compute_dtype,
+                                   mesh.shape['seq'], params, x, y)
                 loss = jax.lax.psum(jnp.sum(nll), ('data', 'seq'))
                 count = jax.lax.psum(jnp.sum(y > 0), ('data', 'seq'))
                 return loss, count
