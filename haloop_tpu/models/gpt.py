@@ -147,7 +147,10 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
             ring_axis, ring_n = seq_ring
             y = ring_attend_local(q, k, v, axis=ring_axis, n=ring_n,
                                   causal=cfg.causal)
-            ent = jnp.float32(-jnp.inf)
+            # entropy is not measured on the ring path (asserted
+            # above); 0.0 rather than -inf so a future consumer that
+            # aggregates entropies can't silently absorb an -inf
+            ent = jnp.float32(0.0)
         else:
             from haloop_tpu.ops.attention import mha
             y, ent = mha(q, k, v, causal=cfg.causal,

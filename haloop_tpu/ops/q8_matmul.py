@@ -93,6 +93,12 @@ def q8_matmul(x, w_q, scale, *, bn=512, interpret=False):
         # bounds instead — int8 garbage is finite (no NaN encoding)
         # and meets x's ZERO K-padding, so ragged-K contributions are
         # exactly 0; ragged-N rows land past N and are sliced off.
+        # CAVEAT: this leans on Pallas-TPU edge-block semantics that
+        # are not a documented contract (verified on jax 0.9.0 /
+        # TPU v5e); a Mosaic change to OOB block reads would break
+        # unaligned shapes — scripts/q8_tpu_check.py is the
+        # compiled-mode ragged-shape parity canary, run it on the
+        # chip after any JAX upgrade.
         x = jnp.pad(x, ((0, 0), (0, KP - K)))
     if MP != M:
         x = jnp.pad(x, ((0, MP - M), (0, 0)))

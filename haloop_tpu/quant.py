@@ -26,11 +26,12 @@ import jax.numpy as jnp
 _QUANT_KEYS = ("c_attn", "c_proj", "c_fc", "lm_head")
 
 
-def quantize_weight(w, axis=1):
+def quantize_weight(w):
     """(out, in) fp weight -> (int8 weight, (out,) fp32 scale).
-    Symmetric absmax per output channel; zero rows get scale 1 (their
+    Symmetric absmax per output channel (axis 1 reduction — the scale
+    broadcast below is hardwired to it); zero rows get scale 1 (their
     quantized values are all zero anyway)."""
-    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis)
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[:, None]),
                  -127, 127).astype(jnp.int8)

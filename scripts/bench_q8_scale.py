@@ -1,7 +1,8 @@
 """--q8 across model scale: where the int8 kernel starts paying.
 
-GPT-2S decode showed the kernel at 0.69x (per-call overhead beats the
-byte saving at 248 MB of weights; PERFORMANCE.md). The claim to prove:
+GPT-2S decode shows the kernel at 0.92-0.96x (per-call overhead beats
+the byte saving at 248 MB of weights; PERFORMANCE.md). The claim to
+prove:
 the balance flips as weight bytes grow, and past the chip's bf16
 capacity --q8 is the only way the model exists at all.
 
