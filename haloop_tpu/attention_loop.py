@@ -71,7 +71,9 @@ def make_parser():
                         help="(parity flag; comms ride ICI/DCN via XLA)")
     parser.add_argument("--tensor-parallel", type=int, default=1,
                         help="shard attention/MLP over a 'model' mesh "
-                             "axis of this size (Megatron layout)")
+                             "axis of this size (Megatron layout); "
+                             "composes with data parallelism and with "
+                             "--sequence-parallel")
     parser.add_argument("--pipeline-stages", type=int, default=1,
                         help="GPipe-pipeline the block stack over a "
                              "'pipe' mesh axis of this size; composes "
@@ -84,7 +86,8 @@ def make_parser():
                              "KV-rotating ring (long-context surface; "
                              "activations scale T/N per device); "
                              "composes with data parallelism on the "
-                             "remaining devices (block_size %% N == 0, "
+                             "remaining devices and with "
+                             "--tensor-parallel (block_size %% N == 0, "
                              "single process)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--prng", choices=["rbg", "threefry"],
@@ -286,7 +289,8 @@ def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
                    donate_argnums=(0, 1))
 
 
-def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
+def make_train_step(cfg, args, tx, compute_dtype, mesh=None,
+                    ring_spmd=None):
     """One jitted update: scan over micro-batches accumulating grads,
     clip, AdamW. Batch arrays are sharded over the data mesh outside.
 
@@ -300,9 +304,12 @@ def make_train_step(cfg, args, tx, compute_dtype, mesh=None):
     def loss_fn(params, x, y, key):
         # LoRA params (lora_A/lora_B) ride along in the pytree and are
         # consumed by gpt._attn's low-rank path (models/gpt.py).
+        # ring_spmd: the composed tp x sp mode — same plain-jit GSPMD
+        # step, but attention rings KV over 'seq' (gpt seq_ring_spmd).
         fparams = cast_tree(params, compute_dtype)
         return G.forward_all(fparams, cfg, x, y, key=key,
-                             train=cfg.dropout > 0)
+                             train=cfg.dropout > 0,
+                             seq_ring_spmd=ring_spmd)
 
     def step_impl(params, opt_state, X, Y, key, axis=None):
         if axis is not None:
@@ -355,12 +362,25 @@ def main():
     pp = max(1, args.pipeline_stages)
     sp = max(1, args.sequence_parallel)
     n_dev = len(jax.devices())
-    if sum(x > 1 for x in (tp, pp, sp)) > 1:
-        raise SystemExit("--tensor-parallel / --pipeline-stages / "
-                         "--sequence-parallel do not compose with each "
-                         "other yet; pick one (each composes with data "
-                         "parallelism)")
-    if tp > 1:
+    if pp > 1 and (tp > 1 or sp > 1):
+        raise SystemExit("--pipeline-stages does not compose with "
+                         "--tensor-parallel/--sequence-parallel; "
+                         "tp and sp compose with each other and each "
+                         "of the three composes with data parallelism")
+    if tp > 1 and sp > 1:
+        # composed tensor x sequence parallelism: params shard over
+        # 'model' (Megatron layout, parallel/tensor.py) under GSPMD,
+        # the time axis shards over 'seq' and attention runs the ring
+        # inside a partial-manual shard_map (gpt._attn seq_ring_spmd)
+        # — only the ring's ppermute is hand-written; XLA places every
+        # 'model' collective. seq innermost so KV hops ride neighbors.
+        if n_dev % (tp * sp):
+            raise SystemExit(f"{n_dev} devices not divisible by "
+                             f"tp={tp} x sp={sp}")
+        mesh = Mesh(_np.array(jax.devices())
+                    .reshape(n_dev // (tp * sp), tp, sp),
+                    ("data", "model", "seq"))
+    elif tp > 1:
         assert n_dev % tp == 0, f"{n_dev} devices not divisible by tp={tp}"
         mesh = Mesh(_np.array(jax.devices()).reshape(n_dev // tp, tp),
                     ("data", "model"))
@@ -506,6 +526,12 @@ def main():
     if pp > 1:
         train_step = make_pp_train_step(cfg, args, tx, compute_dtype,
                                         mesh)
+    elif sp > 1 and tp > 1:
+        # composed mode: plain-jit GSPMD over the 3-D mesh ('model'
+        # collectives and 'data' grad reduction placed by XLA), ring
+        # attention manual over 'seq' only
+        train_step = make_train_step(cfg, args, tx, compute_dtype,
+                                     ring_spmd=(mesh, 'seq', sp))
     elif sp > 1:
         train_step = make_sp_train_step(cfg, args, tx, compute_dtype,
                                         mesh)
@@ -517,7 +543,7 @@ def main():
 
     fcast = partial(cast_tree, dtype=compute_dtype)
 
-    if sp > 1:
+    if sp > 1 and tp == 1:
         # eval must honor the same T/N per-device scaling the flag
         # exists for — a plain-jit eval would rebuild the full-T
         # activations on one chip at exactly the block sizes
@@ -538,10 +564,13 @@ def main():
             in_specs=(P(), P('data', 'seq'), P('data', 'seq')),
             out_specs=(P(), P()), check_vma=False))
     else:
+        ring_kw = {"seq_ring_spmd": (mesh, 'seq', sp)} \
+            if (sp > 1 and tp > 1) else {}
+
         @jax.jit
         def eval_step(params, x, y):
             loss = G.forward_all(fcast(params), cfg, x, y,
-                                 reduction='sum')
+                                 reduction='sum', **ring_kw)
             count = jnp.sum(y > 0)
             return loss, count
 
@@ -624,11 +653,18 @@ def main():
             return global_batch(mesh, A, spec=P(None, 'data', None))
         A = jnp.asarray(A)
         # shard batch rows over the mesh's data axis (its full device
-        # set on 1-D meshes; the non-model/pipe dimension otherwise)
+        # set on 1-D meshes; the non-model/pipe dimension otherwise);
+        # composed tp x sp additionally shards T over 'seq' (GSPMD
+        # reshards if a spec is partial, so this is placement, not
+        # correctness)
+        t_axis = 'seq' if (tp > 1 and sp > 1) else None
         ndata = dict(zip(mesh.axis_names, mesh.devices.shape))['data']
         if ndata > 1 and A.shape[1] % ndata == 0:
             return jax.device_put(A, NamedSharding(mesh,
-                                                   P(None, 'data', None)))
+                                                   P(None, 'data', t_axis)))
+        if t_axis is not None:
+            return jax.device_put(A, NamedSharding(mesh,
+                                                   P(None, None, t_axis)))
         return A
 
     if args.train:

@@ -114,7 +114,8 @@ def _embed(p, cfg, input_ids, t0, key=None, train=False, positions=None):
 
 
 def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
-          train=False, positions=None, segment_ids=None, seq_ring=None):
+          train=False, positions=None, segment_ids=None, seq_ring=None,
+          seq_ring_spmd=None):
     """Fused qkv self-attention. past: optional dict with fixed-size
     cache {"k","v" (B, nh, block, hs), "length" scalar}.
     segment_ids (B, T): packed rows — tokens attend only within their
@@ -122,7 +123,15 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
     seq_ring: optional (axis_name, n) — the sequence axis is sharded
     over that mesh axis of an ENCLOSING shard_map and attention runs
     as a KV-rotating ring (parallel/ring.ring_attend_local); the
-    caller must pass global ``positions`` for this shard's chunk."""
+    caller must pass global ``positions`` for this shard's chunk.
+    seq_ring_spmd: optional (mesh, axis_name, n) — like seq_ring but
+    for callers running under PLAIN jit/GSPMD (shapes here are the
+    full logical T): attention wraps ring_attend_local in its own
+    PARTIAL-MANUAL shard_map (axis_names={axis}), so only the ring's
+    ppermute is hand-written while every other dimension — including
+    heads sharded over a 'model' axis by parallel/tensor.py — stays
+    under GSPMD. This is what lets --tensor-parallel compose with
+    --sequence-parallel (attention_loop.py)."""
     B, T, C = x.shape
     nh, hs = cfg.n_head, cfg.n_embd // cfg.n_head
     if "lora_A" in p["c_attn"]:
@@ -140,14 +149,34 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
         k = rotate_interleaved(k, t0=t0, positions=positions)
 
     if past is None:
-        if seq_ring is not None:
+        if seq_ring is not None or seq_ring_spmd is not None:
             assert segment_ids is None and not measure_entropy, \
                 "sequence-parallel attention: no packing/entropy"
             from haloop_tpu.parallel.ring import ring_attend_local
-            ring_axis, ring_n = seq_ring
-            y = ring_attend_local(q, k, v, axis=ring_axis, n=ring_n,
-                                  causal=cfg.causal)
-            # entropy is not measured on the ring path (asserted
+            if seq_ring is not None:
+                ring_axis, ring_n = seq_ring
+                y = ring_attend_local(q, k, v, axis=ring_axis,
+                                      n=ring_n, causal=cfg.causal)
+            else:
+                # plain-jit/GSPMD caller: q/k/v here are the FULL
+                # logical (B, H, T, D) — open a partial-manual
+                # shard_map that hand-shards only the ring axis (T);
+                # every other dim, incl. heads sharded over 'model'
+                # by parallel/tensor.py, stays GSPMD-partitioned.
+                # The lambda closes over nothing traced, so the ring's
+                # ppermute transpose gives exact grads (probed vs the
+                # materialized reference in tests/test_parallel.py).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec
+                smesh, ring_axis, ring_n = seq_ring_spmd
+                spec = PartitionSpec(None, None, ring_axis, None)
+                y = shard_map(
+                    lambda ql, kl, vl: ring_attend_local(
+                        ql, kl, vl, axis=ring_axis, n=ring_n,
+                        causal=cfg.causal),
+                    mesh=smesh, in_specs=(spec,) * 3, out_specs=spec,
+                    axis_names={ring_axis}, check_vma=False)(q, k, v)
+            # entropy is not measured on the ring paths (asserted
             # above); 0.0 rather than -inf so a future consumer that
             # aggregates entropies can't silently absorb an -inf
             ent = jnp.float32(0.0)
@@ -184,14 +213,15 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
 
 def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
                  key=None, train=False, positions=None, segment_ids=None,
-                 seq_ring=None):
+                 seq_ring=None, seq_ring_spmd=None):
     k1 = k2 = None
     if key is not None:
         k1, k2 = jax.random.split(key)
     a, ent, present = _attn(p["attn"], cfg, layer_norm(p["ln_1"], x),
                             past=past, t0=t0, measure_entropy=measure_entropy,
                             key=k1, train=train, positions=positions,
-                            segment_ids=segment_ids, seq_ring=seq_ring)
+                            segment_ids=segment_ids, seq_ring=seq_ring,
+                            seq_ring_spmd=seq_ring_spmd)
     x = x + a
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x))
     h = linear(p["mlp"]["c_proj"], new_gelu(h))
@@ -201,7 +231,7 @@ def _block_apply(p, cfg, x, past=None, t0=0, measure_entropy=False,
 
 def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
            measure_entropy=False, activation_spec=None, positions=None,
-           segment_ids=None, seq_ring=None):
+           segment_ids=None, seq_ring=None, seq_ring_spmd=None):
     """activation_spec: optional jax.sharding.PartitionSpec constraining
     hidden activations between blocks — e.g. P('data', 'model', None)
     shards the SEQUENCE axis over the model-parallel group in the
@@ -226,7 +256,8 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
                                        key=kb, train=train,
                                        positions=positions,
                                        segment_ids=segment_ids,
-                                       seq_ring=seq_ring)
+                                       seq_ring=seq_ring,
+                                       seq_ring_spmd=seq_ring_spmd)
         presents.append(present)
         entropies.append(ent)
     x = layer_norm(p["transformer"]["ln_f"], x)
@@ -235,7 +266,7 @@ def _trunk(p, cfg, input_ids, past_list=None, t0=0, key=None, train=False,
 
 def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
                 train=False, activation_spec=None, positions=None,
-                segment_ids=None, seq_ring=None):
+                segment_ids=None, seq_ring=None, seq_ring_spmd=None):
     """Teacher-forced loss over all positions; CE ignore_index=0
     (reference ha/attention.py:205-232).
 
@@ -249,12 +280,14 @@ def forward_all(p, cfg, input_ids, target_ids, reduction="mean", key=None,
     caller psums; hala --sequence-parallel does)."""
     x, _, _ = _trunk(p, cfg, input_ids, key=key, train=train,
                      activation_spec=activation_spec, positions=positions,
-                     segment_ids=segment_ids, seq_ring=seq_ring)
+                     segment_ids=segment_ids, seq_ring=seq_ring,
+                     seq_ring_spmd=seq_ring_spmd)
     from haloop_tpu.ops.dispatch import use_pallas
     from haloop_tpu.ops.fused_ce import pick_tv
     B, T = target_ids.shape
     if (use_pallas() and cfg.vocab_size >= 4096
             and "bias" not in p["lm_head"] and activation_spec is None
+            and seq_ring_spmd is None
             and pick_tv(x.shape[-1], x.dtype.itemsize) is not None):
         # fused lm_head+CE kernel: the (B, T, V) logits never hit HBM
         # (ops/fused_ce.py; the GPT-2-vocab scoring hot spot)

@@ -107,8 +107,9 @@ def test_sequence_parallel_guards(tmp_path):
     assert r.returncode != 0
     assert "divisible" in (r.stderr + r.stdout)
 
-    # no composition with the other model-parallel axes
+    # no composition with pipeline stages (tp x sp composes — see
+    # tests/test_hala_tpsp.py)
     r = run_hala(tmp_path, tmp_path / "train.bin",
-                 "--sequence-parallel", "2", "--tensor-parallel", "2")
+                 "--sequence-parallel", "2", "--pipeline-stages", "2")
     assert r.returncode != 0
     assert "compose" in (r.stderr + r.stdout)

@@ -491,3 +491,42 @@ def test_forward_all_seq_ring_matches_single_device(rotary):
     for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_forward_all_tp_sp_composed_matches_single_device():
+    """Composed tensor x sequence parallelism (the hala
+    --tensor-parallel N --sequence-parallel M mode): params Megatron-
+    sharded over 'model' under GSPMD while attention runs the KV ring
+    inside a PARTIAL-MANUAL shard_map over 'seq' only
+    (gpt._attn seq_ring_spmd). Loss AND param grads must match the
+    plain single-device forward — the ring's ppermute transpose routes
+    cross-shard KV cotangents home and GSPMD places every 'model'
+    collective."""
+    need_devices(8)
+    cfg, params = _tiny()
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    tgt = jnp.asarray(rng.integers(1, 32, (4, 16)))
+    ref = float(G.forward_all(params, cfg, ids, tgt))
+    gref = jax.grad(lambda p: G.forward_all(p, cfg, ids, tgt))(params)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                ("data", "model", "seq"))
+    pspecs = gpt_param_spec(params)
+    shard = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    xb = jax.device_put(ids, NamedSharding(mesh, P("data", "seq")))
+    yb = jax.device_put(tgt, NamedSharding(mesh, P("data", "seq")))
+
+    def loss_fn(p, x, y):
+        return G.forward_all(p, cfg, x, y,
+                             seq_ring_spmd=(mesh, "seq", 2))
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(shard, xb, yb)
+    np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+    flat_ref = jax.tree.leaves(gref)
+    flat_got = jax.tree.leaves(grads)
+    for a, b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
