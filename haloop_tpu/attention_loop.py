@@ -89,6 +89,17 @@ def make_parser():
                              "remaining devices and with "
                              "--tensor-parallel (block_size %% N == 0, "
                              "single process)")
+    parser.add_argument("--ring-schedule",
+                        choices=["contiguous", "striped"],
+                        default="contiguous",
+                        help="--sequence-parallel KV-ring schedule: "
+                             "'striped' (zigzag) interleaves two "
+                             "global stripes per device so fully-"
+                             "masked causal blocks are skipped (~2x "
+                             "less attention arithmetic at long T); "
+                             "'contiguous' keeps one chunk per device "
+                             "(also valid non-causal, composes with "
+                             "--tensor-parallel)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--prng", choices=["rbg", "threefry"],
                         default="rbg",
@@ -226,18 +237,25 @@ def make_pp_train_step(cfg, args, tx, compute_dtype, mesh):
 
 
 def sp_local_nll(cfg, compute_dtype, nseq, params, x, y, key=None,
-                 train=False):
+                 train=False, schedule="contiguous"):
     """This shard's per-token NLL on the sequence-parallel path: global
-    positions (shard offset + local iota, so wpe AND rotary models see
-    single-device semantics) and ring attention over 'seq'. Shared by
-    the sp train micro-step and the sp eval — the two must agree on the
-    sharded forward's construction, so it exists once."""
+    positions (so wpe AND rotary models see single-device semantics)
+    and ring attention over 'seq'. Shared by the sp train micro-step
+    and the sp eval — the two must agree on the sharded forward's
+    construction, so it exists once. schedule='striped' expects the
+    token stream permuted by ring.striped_permutation (the trainer
+    does this on device at prep time) and uses the matching striped
+    global positions."""
     fparams = cast_tree(params, compute_dtype)
     Tc = x.shape[-1]
-    pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
+    if schedule == "striped":
+        from haloop_tpu.parallel.ring import striped_positions
+        pos = striped_positions('seq', Tc, nseq)
+    else:
+        pos = jax.lax.axis_index('seq') * Tc + jnp.arange(Tc)
     return G.forward_all(fparams, cfg, x, y, reduction='none', key=key,
                          train=train, positions=pos,
-                         seq_ring=('seq', nseq))
+                         seq_ring=('seq', nseq, schedule))
 
 
 def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
@@ -264,7 +282,8 @@ def make_sp_train_step(cfg, args, tx, compute_dtype, mesh):
 
     def loss_terms(params, x, y, key):
         nll = sp_local_nll(cfg, compute_dtype, nseq, params, x, y,
-                           key=key, train=cfg.dropout > 0)
+                           key=key, train=cfg.dropout > 0,
+                           schedule=args.ring_schedule)
         s = jax.lax.psum(jnp.sum(nll), 'seq')
         c = jax.lax.psum(jnp.sum(y != 0), 'seq')
         return s / jnp.maximum(c, 1)
@@ -474,6 +493,19 @@ def main():
         if args.block_size % sp:
             raise SystemExit(f"block_size {args.block_size} not "
                              f"divisible by --sequence-parallel {sp}")
+    striped = args.ring_schedule == "striped" and sp > 1
+    if args.ring_schedule == "striped":
+        if sp == 1:
+            raise SystemExit("--ring-schedule striped requires "
+                             "--sequence-parallel > 1")
+        if tp > 1:
+            raise SystemExit("--ring-schedule striped does not compose "
+                             "with --tensor-parallel; use contiguous")
+        if args.block_size % (2 * sp):
+            raise SystemExit(f"block_size {args.block_size} not "
+                             f"divisible by 2 x sequence-parallel = "
+                             f"{2 * sp} (striped holds two stripes per "
+                             f"shard)")
         ndata = mesh.shape["data"]
         if ndata > 1 and args.batch_size % ndata:
             raise SystemExit(f"batch_size {args.batch_size} not "
@@ -554,7 +586,8 @@ def main():
         def eval_local(params, x, y):
             with _dispatch.force_local():
                 nll = sp_local_nll(cfg, compute_dtype,
-                                   mesh.shape['seq'], params, x, y)
+                                   mesh.shape['seq'], params, x, y,
+                                   schedule=args.ring_schedule)
                 loss = jax.lax.psum(jnp.sum(nll), ('data', 'seq'))
                 count = jax.lax.psum(jnp.sum(y > 0), ('data', 'seq'))
                 return loss, count
@@ -597,6 +630,8 @@ def main():
                           for i in range(base, base + T * B, T)])
             y = np.concatenate([x[:, 1:], np.zeros((len(x), 1), np.int64)],
                                1)
+            if striped:
+                x, y = x[:, perm_np], y[:, perm_np]
             loss, count = eval_step(params, eval_ship(x), eval_ship(y))
             tot_loss += float(loss)
             tot_count += float(count)
@@ -638,10 +673,20 @@ def main():
                                 and args.mmap_dtype == "uint16") \
         else np.int32
 
+    if striped:
+        from haloop_tpu.parallel.ring import striped_permutation
+        perm_np = striped_permutation(args.block_size, sp)
+        perm_T = jnp.asarray(perm_np)
+
     @jax.jit
     def prep_lm(X):
         X = X.astype(jnp.int32)
         Y = jnp.concatenate([X[:, :, 1:], jnp.zeros_like(X[:, :, :1])], -1)
+        if striped:
+            # LM targets derive from the ORIGINAL token order; then
+            # both streams take the zigzag layout the striped ring
+            # (and sp_local_nll's striped positions) expect
+            X, Y = X[:, :, perm_T], Y[:, :, perm_T]
         return X, Y
 
     def ship(A):
@@ -719,6 +764,8 @@ def main():
         if Y is None:
             XS, YS = prep_lm(ship(X))
         else:
+            if striped:        # host-side: X/Y are small int arrays
+                X, Y = X[..., perm_np], Y[..., perm_np]
             XS, YS = ship(X), ship(Y)
         params, opt_state, loss, grad_norm = train_step(
             params, opt_state, XS, YS, k)

@@ -152,11 +152,21 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
         if seq_ring is not None or seq_ring_spmd is not None:
             assert segment_ids is None and not measure_entropy, \
                 "sequence-parallel attention: no packing/entropy"
-            from haloop_tpu.parallel.ring import ring_attend_local
+            from haloop_tpu.parallel.ring import (
+                ring_attend_local, ring_attend_local_striped)
             if seq_ring is not None:
-                ring_axis, ring_n = seq_ring
-                y = ring_attend_local(q, k, v, axis=ring_axis,
-                                      n=ring_n, causal=cfg.causal)
+                ring_axis, ring_n, *sched = seq_ring
+                if sched and sched[0] == "striped":
+                    # zigzag layout: the caller permuted the token
+                    # stream (striped_permutation) and passes striped
+                    # global positions; masked future chunks are
+                    # SKIPPED, not computed (parallel/ring.py)
+                    assert cfg.causal, "striped ring is causal-only"
+                    y = ring_attend_local_striped(
+                        q, k, v, axis=ring_axis, n=ring_n)
+                else:
+                    y = ring_attend_local(q, k, v, axis=ring_axis,
+                                          n=ring_n, causal=cfg.causal)
             else:
                 # plain-jit/GSPMD caller: q/k/v here are the FULL
                 # logical (B, H, T, D) — open a partial-manual

@@ -113,3 +113,38 @@ def test_sequence_parallel_guards(tmp_path):
                  "--sequence-parallel", "2", "--pipeline-stages", "2")
     assert r.returncode != 0
     assert "compose" in (r.stderr + r.stdout)
+
+
+def test_sequence_parallel_striped_cli_matches_plain(tmp_path):
+    """--ring-schedule striped (zigzag layout, masked blocks skipped)
+    must train and eval to the SAME losses as the plain step — the
+    schedule changes which device computes what, never the math."""
+    rng = np.random.default_rng(3)
+    train = rng.integers(1, 256, 64 * 8 * 2 * 4, dtype=np.uint16)
+    train.tofile(tmp_path / "train.bin")
+    rng.integers(1, 256, 64 * 8, dtype=np.uint16).tofile(
+        tmp_path / "val.bin")
+    eval_args = ("--eval", str(tmp_path / "val.bin"),
+                 "--eval-interval", "2")
+
+    plain = run_hala(tmp_path, tmp_path / "train.bin", *eval_args)
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    l_plain, v_plain = losses(plain.stdout), val_losses(plain.stdout)
+    assert len(l_plain) >= 3 and len(v_plain) >= 1
+
+    # pure striped sp=4 (two stripes of 8 per shard) and 2 data x 4 seq
+    st = run_hala(tmp_path, tmp_path / "train.bin", *eval_args,
+                  "--sequence-parallel", "4",
+                  "--ring-schedule", "striped")
+    assert st.returncode == 0, st.stderr[-2000:]
+    np.testing.assert_allclose(losses(st.stdout), l_plain, rtol=2e-4)
+    np.testing.assert_allclose(val_losses(st.stdout), v_plain,
+                               rtol=2e-4)
+
+    # striped guard: block_size 64 % (2*8) == 0 is fine, but tp x
+    # striped must refuse
+    r = run_hala(tmp_path, tmp_path / "train.bin",
+                 "--sequence-parallel", "2", "--tensor-parallel", "2",
+                 "--ring-schedule", "striped")
+    assert r.returncode != 0
+    assert "striped" in (r.stderr + r.stdout)

@@ -530,3 +530,96 @@ def test_forward_all_tp_sp_composed_matches_single_device():
     for a, b in zip(flat_ref, flat_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_ring_attention_striped_causal():
+    """Zigzag/striped causal ring (parallel/ring.py): device i holds
+    global stripes (i, 2n-1-i) so fully-masked future blocks are
+    SKIPPED instead of computed — must equal single-device causal
+    attention (values AND grads) after undoing the stripe permutation,
+    at several ring sizes including the n=1 degenerate."""
+    need_devices(8)
+    from jax import shard_map
+    from haloop_tpu.ops.attention import mha
+    from haloop_tpu.parallel.ring import (ring_attend_local_striped,
+                                          striped_permutation)
+
+    B, H, D = 2, 2, 16
+    rng = np.random.default_rng(5)
+    for n, T in [(8, 256), (4, 64), (2, 32), (1, 16)]:
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)),
+                               jnp.float32) for _ in range(3))
+        ref, _ = mha(q, k, v, causal=True, use_flash="never")
+        perm = striped_permutation(T, n)
+        inv = np.argsort(perm)
+        mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+        spec = P(None, None, "seq", None)
+        fn = shard_map(
+            lambda ql, kl, vl: ring_attend_local_striped(
+                ql, kl, vl, axis="seq", n=n),
+            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False)
+        out = jax.jit(fn)(q[:, :, perm], k[:, :, perm], v[:, :, perm])
+        np.testing.assert_allclose(np.asarray(out[:, :, inv]),
+                                   np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        g = jax.jit(jax.grad(
+            lambda ql: jnp.sum(fn(ql, k[:, :, perm],
+                                  v[:, :, perm]) ** 2)))(q[:, :, perm])
+        g_ref = jax.grad(
+            lambda q: jnp.sum(mha(q, k, v, causal=True,
+                                  use_flash="never")[0] ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g[:, :, inv]),
+                                   np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("rotary", [0, 8], ids=["wpe", "rotary"])
+def test_forward_all_striped_ring_matches_single_device(rotary):
+    """GPT forward_all under the STRIPED sequence sharding (permuted
+    token stream + striped global positions — the hala
+    --ring-schedule striped compute path) equals the unsharded loss,
+    values AND param grads, for wpe and rotary position codes."""
+    need_devices(8)
+    from jax import shard_map
+    from haloop_tpu.parallel.ring import (striped_permutation,
+                                          striped_positions)
+
+    cfg = G.GPTConfig(block_size=64, vocab_size=32, n_layer=2, n_head=2,
+                      n_embd=16, rotary_emb_dim=rotary,
+                      stable_embedding=bool(rotary))
+    params = G.gpt_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(1, 32, (4, 64)))
+    tgt = jnp.asarray(rng.integers(1, 32, (4, 64)))
+
+    def ref_loss(p):
+        return G.forward_all(p, cfg, ids, tgt)
+
+    n = 8
+    perm = striped_permutation(64, n)
+    ids_s, tgt_s = ids[:, perm], tgt[:, perm]
+    mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+
+    def local_loss(p, x, y):
+        Tc = x.shape[-1]
+        pos = striped_positions("seq", Tc, n)
+        nll = G.forward_all(p, cfg, x, y, reduction="none",
+                            positions=pos,
+                            seq_ring=("seq", n, "striped"))
+        s = jax.lax.psum(jnp.sum(nll), "seq")
+        c = jax.lax.psum(jnp.sum(y != 0), "seq")
+        return s / jnp.maximum(c, 1)
+
+    S = P(None, "seq")
+    sharded = shard_map(local_loss, mesh=mesh, in_specs=(P(), S, S),
+                        out_specs=P(), check_vma=False)
+    loss = float(jax.jit(sharded)(params, ids_s, tgt_s))
+    np.testing.assert_allclose(loss, float(ref_loss(params)), rtol=1e-5)
+
+    g_sp = jax.jit(jax.grad(lambda p: sharded(p, ids_s, tgt_s)))(params)
+    g_ref = jax.grad(ref_loss)(params)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
