@@ -360,6 +360,17 @@ def init_cache(cfg, batch, dtype=jnp.float32, size=None):
             for _ in range(cfg.n_layer)]
 
 
+def cache_len_for(cfg, prompt_len, new_tokens, extra=0):
+    """Smallest 128-aligned KV capacity covering prompt + generation,
+    capped at block_size. Cached attention reads the WHOLE buffer every
+    step (length-masked), so capacity — not tokens written — sets the
+    per-step bandwidth: right-sizing 1024 -> 256 measured +23% on
+    GPT-2S decode (scripts/exp_decode_decomp.py). 128-alignment keeps
+    the jit shape-bucket count small for interactive prompts."""
+    need = prompt_len + new_tokens + extra
+    return min(cfg.block_size, max(128, -(-need // 128) * 128))
+
+
 def forward(p, cfg, input_ids, past=None):
     """Last-token logits + updated cache (reference ha/attention.py:254-281)."""
     t0 = past[0]["length"] if past is not None else 0
@@ -430,7 +441,12 @@ def generate_speculative(p, cfg, input_ids, max_new_tokens, draft_len=8,
     B, T0 = input_ids.shape
     assert B == 1, "speculative decoding is a single-stream path"
     K = draft_len
-    cache = init_cache(cfg, 1, dtype=param_dtype(p))
+    # right-sized (see cache_len_for); +K+2 so the last accepted token
+    # can still be followed by a full draft block before the capacity
+    # guard below stops the loop
+    cache = init_cache(cfg, 1, dtype=param_dtype(p),
+                       size=cache_len_for(cfg, T0, max_new_tokens,
+                                          extra=K + 2))
     # jitted prefill: a bare forward() here would dispatch the whole
     # trunk op-by-op once per prompt (hundreds of device calls)
     logits, cache = _spec_prefill_jit(cfg)(p, input_ids, cache)
@@ -526,7 +542,8 @@ def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
     B, T0 = input_ids.shape
     if key is None:
         key = jax.random.PRNGKey(0)
-    cache = init_cache(cfg, B, dtype=param_dtype(p))
+    cache = init_cache(cfg, B, dtype=param_dtype(p),
+                       size=cache_len_for(cfg, T0, max_new_tokens))
     logits, cache = forward(p, cfg, input_ids, past=cache)
 
     def sample(logits, key):

@@ -63,9 +63,9 @@ def main():
                              "feature (~2x the model per chip; a Pallas "
                              "kernel keeps decode residency truly int8: "
                              "a 9.8B model that cannot exist bf16 on "
-                             "one chip decodes at 57 tok/s). Small "
-                             "models pay a per-kernel-call tax (GPT-2S "
-                             "0.91x — PERFORMANCE.md). ~0.3%% per-"
+                             "one chip decodes at 65 tok/s) that also "
+                             "buys modest decode speed (GPT-2S 1.05x, "
+                             "XL 1.14x — PERFORMANCE.md). ~0.3%% per-"
                              "weight rounding; exact bf16 is default")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
@@ -232,9 +232,15 @@ def main():
                 print(f' ({i+1} tokens in {t1-t0:.2f}s)', file=sys.stderr)
                 continue
 
-            cache = G.init_cache(cfg, 1, dtype=jnp.bfloat16
-                                 if args.dtype == 'bfloat16'
-                                 else jnp.float32)
+            # right-sized KV capacity (128-aligned buckets, so a prompt
+            # length change rarely recompiles): the chunked path can
+            # overshoot --steps by up to a chunk before it notices eos
+            cache = G.init_cache(
+                cfg, 1,
+                dtype=jnp.bfloat16 if args.dtype == 'bfloat16'
+                else jnp.float32,
+                size=G.cache_len_for(cfg, x.shape[1], args.steps,
+                                     extra=max(args.chunk, 1)))
             logits, cache = prefill(params, x, cache)
 
             # one generation key per prompt; per-token keys are

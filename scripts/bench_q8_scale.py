@@ -1,10 +1,13 @@
 """--q8 across model scale: where the int8 kernel starts paying.
 
-GPT-2S decode shows the kernel at 0.92-0.96x (per-call overhead beats
-the byte saving at 248 MB of weights; PERFORMANCE.md). The claim to
-prove:
-the balance flips as weight bytes grow, and past the chip's bf16
-capacity --q8 is the only way the model exists at all.
+r5 quiet-chip capture (right-sized KV caches): GPT-2S 1.02x,
+XL-class 1.14x, 9.8B q8-only at 64.8 tok/s. The per-call kernel
+overhead is fixed while the byte saving grows with scale, and past
+the chip's bf16 capacity --q8 is the only way the model exists at
+all. NOTE: this bench generates only 32 tokens from an 8-token
+prompt, so prefill + per-program dispatch are amortized over few
+tokens — absolutes are lower than the steady-state decode numbers
+in PERFORMANCE.md; the bf16/q8 ratios are the comparable part.
 
 Weights are synthesized ON DEVICE (jitted randint/normal per leaf) —
 nothing multi-GB crosses the host tunnel; timing is a jitted
