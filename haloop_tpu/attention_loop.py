@@ -480,9 +480,11 @@ def main():
         if cfg.dropout > 0:
             raise SystemExit("--pipeline-stages trains without dropout; "
                              "use a dropout-0 config")
-        if args.lora:
-            raise SystemExit("--pipeline-stages does not compose with "
-                             "--lora yet")
+        # --lora composes: adapters live inside the block pytrees, so
+        # stack_blocks pipelines them with their blocks and gpt._attn's
+        # low-rank branch runs inside each stage (deterministically —
+        # the pipeline is dropout-free); the trainable mask acts in the
+        # optimizer, which is step-kind-agnostic (test_hala_pipeline)
         ndata = mesh.shape["data"]
         if ndata > 1 and args.batch_size % ndata:
             raise SystemExit(f"batch_size {args.batch_size} not "

@@ -56,6 +56,29 @@ def test_pipeline_stages_cli_matches_plain(tmp_path):
     assert l_plain[0] != l_plain[-1]
 
 
+def test_pipeline_lora_cli_matches_plain(tmp_path):
+    """--pipeline-stages 2 x --lora: the adapters are stacked and
+    pipelined with their blocks, the trainable mask freezes the base
+    weights in the optimizer, and losses match the plain --lora step
+    (lora_B starts at zero, so iter-0 losses also equal the no-lora
+    run — a frozen-base false pass can't slip through that)."""
+    rng = np.random.default_rng(2)
+    train = rng.integers(1, 256, 64 * 8 * 2 * 4, dtype=np.uint16)
+    train.tofile(tmp_path / "train.bin")
+
+    plain = run_hala(tmp_path, tmp_path / "train.bin", "--lora")
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    pipe = run_hala(tmp_path, tmp_path / "train.bin", "--lora",
+                    "--pipeline-stages", "2")
+    assert pipe.returncode == 0, pipe.stderr[-2000:]
+
+    l_plain, l_pipe = losses(plain.stdout), losses(pipe.stdout)
+    assert len(l_plain) >= 3 and len(l_pipe) >= 3, (plain.stdout,
+                                                    pipe.stdout)
+    np.testing.assert_allclose(l_pipe, l_plain, rtol=2e-4)
+    assert l_plain[0] != l_plain[-1]       # adapters actually train
+
+
 def test_pipeline_stages_guards(tmp_path):
     rng = np.random.default_rng(1)
     train = rng.integers(1, 256, 64 * 8 * 4, dtype=np.uint16)
