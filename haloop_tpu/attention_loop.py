@@ -495,6 +495,11 @@ def main():
         if args.block_size % sp:
             raise SystemExit(f"block_size {args.block_size} not "
                              f"divisible by --sequence-parallel {sp}")
+        ndata = mesh.shape["data"]
+        if ndata > 1 and args.batch_size % ndata:
+            raise SystemExit(f"batch_size {args.batch_size} not "
+                             f"divisible by the data axis {ndata} of "
+                             f"the {n_dev}-device sequence-parallel mesh")
     striped = args.ring_schedule == "striped" and sp > 1
     if args.ring_schedule == "striped":
         if sp == 1:
@@ -508,11 +513,6 @@ def main():
                              f"divisible by 2 x sequence-parallel = "
                              f"{2 * sp} (striped holds two stripes per "
                              f"shard)")
-        ndata = mesh.shape["data"]
-        if ndata > 1 and args.batch_size % ndata:
-            raise SystemExit(f"batch_size {args.batch_size} not "
-                             f"divisible by the data axis {ndata} of "
-                             f"the {n_dev}-device sequence-parallel mesh")
 
     trainable_mask = None
     if args.lora:

@@ -18,12 +18,13 @@ Usage: python scripts/q8_tpu_check.py   (exits non-zero on mismatch)
 """
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from haloop_tpu.ops.q8_matmul import q8_matmul
 

@@ -41,3 +41,39 @@ def reference_module(name):
         return importlib.import_module(name)
     except Exception as e:  # torch missing etc.
         pytest.skip(f"cannot import reference {name}: {e}")
+
+
+# ------------------------------------------------------------------
+# Shared hala-CLI harness for the model-parallel parity tests
+# (test_hala_tp / _tpsp / _seqpar / _pipeline): one place to change
+# the invocation or the loss log format.
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_hala(tmp_path, train_bin, *extra):
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run(
+        [sys.executable, "-m", "haloop_tpu.attention_loop",
+         "--arch", "gpt-nano:256:64", "--train", str(train_bin),
+         "--batch_size", "8", "--block_size", "64",
+         "--gradient_accumulation_steps", "2", "--max_iters", "3",
+         "--save", "none", "--exp", str(tmp_path / "exp"),
+         "--dtype", "float32", "--lr_schedule", "const"] + list(extra),
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO)
+
+
+def losses(stdout):
+    import re
+
+    return [float(m) for m in re.findall(r"iter \d+: loss (\d+\.\d+)",
+                                         stdout)]
+
+
+def val_losses(stdout):
+    import re
+
+    return [float(m) for m in re.findall(r"val loss (\d+\.\d+)", stdout)]

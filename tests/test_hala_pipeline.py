@@ -3,33 +3,11 @@ the GPipe step must train to the same losses as the plain single-mesh
 step at float tolerance, on the 8-virtual-device mesh (2 pipeline
 stages x 4-way data parallelism)."""
 
-import os
-import re
-import subprocess
-import sys
-from pathlib import Path
-
 import numpy as np
 
-REPO = Path(__file__).parent.parent
-
-
-def run_hala(tmp_path, train_bin, *extra):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    return subprocess.run(
-        [sys.executable, "-m", "haloop_tpu.attention_loop",
-         "--arch", "gpt-nano:256:64", "--train", str(train_bin),
-         "--batch_size", "8", "--block_size", "64",
-         "--gradient_accumulation_steps", "2", "--max_iters", "3",
-         "--save", "none", "--exp", str(tmp_path / "exp"),
-         "--dtype", "float32", "--lr_schedule", "const"] + list(extra),
-        env=env, capture_output=True, text=True, timeout=900, cwd=REPO)
-
-
-def losses(stdout):
-    return [float(m) for m in re.findall(r"iter \d+: loss (\d+\.\d+)",
-                                         stdout)]
+# run_hala / losses / val_losses live in conftest.py — one
+# harness shared by all the model-parallel CLI parity tests
+from conftest import run_hala, losses, val_losses  # noqa: E402
 
 
 def test_pipeline_stages_cli_matches_plain(tmp_path):

@@ -81,6 +81,28 @@ def test_gpt_generate_stops():
                                   np.asarray(toks)[0, 0])
 
 
+def test_cache_len_for():
+    """KV capacity sizing (r5 decode right-sizing): 128-aligned,
+    floored at 128, capped at block_size, speculative headroom via
+    `extra` — capacity sets decode bandwidth, so these edges are the
+    difference between +23% tok/s and an OOB cache write."""
+    cfg = G.GPTConfig(block_size=1024, vocab_size=64, n_layer=1,
+                      n_head=2, n_embd=8)
+    assert G.cache_len_for(cfg, 32, 12) == 128          # floor
+    assert G.cache_len_for(cfg, 32, 128) == 256         # round up
+    assert G.cache_len_for(cfg, 128, 128) == 256        # exact multiple
+    assert G.cache_len_for(cfg, 32, 128, extra=100) == 384
+    assert G.cache_len_for(cfg, 1000, 500) == 1024      # block_size cap
+    # generations sized by it never write past capacity: tiny model,
+    # horizon exactly at a bucket edge
+    small = G.GPTConfig(block_size=64, vocab_size=11, n_layer=1,
+                        n_head=2, n_embd=8)
+    p = G.gpt_init(jax.random.PRNGKey(0), small)
+    ids = jnp.array([[5, 6, 7]])
+    toks, _ = G.generate(p, small, ids, 32, top_k=1, stop_token=-1)
+    assert toks.shape == (1, 32)
+
+
 def _tiny_cfg():
     return TR.TransformerConfig(vocab=16, head_dim=8, heads=2, p_drop=0.0,
                                 layers=2)
