@@ -66,3 +66,21 @@ def test_hap_sequence_packing_matches_unpacked(nano_ckpt):
     for ra, rb in zip(a, b):
         assert abs(float(ra[0]) - float(rb[0])) <= 2e-3, (ra, rb)
         assert ra[1:] == rb[1:]
+
+
+def test_hap_q8_scores_close_to_fp(nano_ckpt):
+    """--q8 through the real CLI: same rows/token counts, per-sentence
+    NLL within quantization noise of the exact run (the library-level
+    bound is drift.mean < 0.02 per token, tests/test_quant.py)."""
+    q8 = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+              "--q8", nano_ckpt], input=LINES)
+    fp = run([sys.executable, "-m", "haloop_tpu.score", "--bytes",
+              nano_ckpt], input=LINES)
+    assert q8.returncode == 0, q8.stderr
+    assert fp.returncode == 0, fp.stderr
+    a = [l.split("\t") for l in q8.stdout.strip().split("\n")]
+    b = [l.split("\t") for l in fp.stdout.strip().split("\n")]
+    assert len(a) == len(b) == 5
+    for ra, rb in zip(a, b):
+        assert abs(float(ra[0]) - float(rb[0])) <= 0.05, (ra, rb)
+        assert ra[1:] == rb[1:]

@@ -60,3 +60,10 @@ def test_hat_speculative_matches_greedy(nano_ckpt, tmp_path):
                  "--dtype", "float32")
     spec = gen(nano_ckpt, tmp_path, "--spec", "4", "--dtype", "float32")
     assert greedy == spec, (greedy, spec)
+
+
+def test_hat_q8_generates(nano_ckpt, tmp_path):
+    """--q8 through the real CLI: weight-only int8 generation runs the
+    same jitted prefill+scan path and emits the full token budget."""
+    out = gen(nano_ckpt, tmp_path, "--chunk", "4", "--q8")
+    assert out.startswith(">- ")
