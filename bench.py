@@ -17,6 +17,9 @@ anchor is an engineering estimate, stated here for transparency; the
 target from BASELINE.json is >= 5x that anchor (vs_baseline >= 5).
 
 Secondary lines (no baseline anchors exist; "note" marks them):
+  * hat GPT-2-Small single-stream decode tok/s (FIRST — the most
+    contention-sensitive metric; reads 5-10% low right after a heavy
+    bench)
   * e6ctc-d4:512 train utt/s (flagship attention recognizer, B=24)
   * rnn-transducer:lstm:512 train utt/s (B=16)
   * hap GPT-2-Small packed scoring real tokens/s (16 rows x 1024)
@@ -168,12 +171,6 @@ def main():
         float(out)
         return R * W * iters / (time.perf_counter() - t0)
 
-    secondary("hac e6ctc-d4:512 train throughput (B=24, 12s utts)",
-              lambda: time_system_step('e6ctc-d4:512', 24, 1200, 24,
-                                       feat_dim=80), "utt/sec")
-    secondary("hac rnn-transducer:lstm:512 train throughput (B=16)",
-              lambda: time_system_step('rnn-transducer:lstm:512',
-                                       16, 1200, 24), "utt/sec")
     def hat_decode_tokens_per_sec(new=128):
         """GPT-2 Small single-stream decode (hat's path): one jitted
         prefill + lax.scan program per call."""
@@ -199,10 +196,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return new / best
 
-    secondary("hap GPT-2S packed scoring (16x1024, segment-masked)",
-              hap_packed_tokens_per_sec, "real tokens/sec")
+    # decode FIRST: it is the most contention-sensitive metric, and a
+    # run right after the 5-minute hap bench measurably reads 5-10%
+    # low (r5: 1827-1949 in that slot vs 2032 interleaved on a quiet
+    # chip — the same pollution window the verify notes document)
     secondary("hat GPT-2S decode (B=1, jitted prefill+scan)",
               hat_decode_tokens_per_sec, "tokens/sec")
+    secondary("hac e6ctc-d4:512 train throughput (B=24, 12s utts)",
+              lambda: time_system_step('e6ctc-d4:512', 24, 1200, 24,
+                                       feat_dim=80), "utt/sec")
+    secondary("hac rnn-transducer:lstm:512 train throughput (B=16)",
+              lambda: time_system_step('rnn-transducer:lstm:512',
+                                       16, 1200, 24), "utt/sec")
+    secondary("hap GPT-2S packed scoring (16x1024, segment-masked)",
+              hap_packed_tokens_per_sec, "real tokens/sec")
 
     # headline LAST: the driver tail-parses this line
     utt_per_sec = time_system_step('lstm:512', 48, 1200, 40, feat_dim=80)
