@@ -204,16 +204,34 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
             past["v"], v, (0, 0, past["length"], 0))
         S = pk.shape[-2]
         total = past["length"] + T
-        valid = jnp.arange(S)[None, :] < total
-        if cfg.causal:
-            rows = past["length"] + jnp.arange(T)[:, None]
-            mask = ~((jnp.arange(S)[None, :] <= rows) & valid[0][None, :])
+        if "starts" in past:
+            # left-padded batch (generate(prompt_lengths=...)): row b's
+            # real tokens start at column starts[b]; pad columns are
+            # masked out so their (garbage) K/V are never attended
+            cols = jnp.arange(S)[None, :]
+            valid = (cols < total) & (cols >= past["starts"][:, None])
+            if cfg.causal:
+                rows = past["length"] + jnp.arange(T)[:, None]
+                mask = ~((cols[None] <= rows[None]) & valid[:, None, :])
+            else:
+                mask = ~jnp.broadcast_to(valid[:, None, :],
+                                         (valid.shape[0], T, S))
+            y, ent = attend(q, pk, pv, mask=mask[:, None],
+                            measure_entropy=measure_entropy)
         else:
-            mask = ~valid
-            mask = jnp.broadcast_to(mask, (T, S))
-        y, ent = attend(q, pk, pv, mask=mask[None, None],
-                        measure_entropy=measure_entropy)
-        present = {"k": pk, "v": pv, "length": total}
+            valid = jnp.arange(S)[None, :] < total
+            if cfg.causal:
+                rows = past["length"] + jnp.arange(T)[:, None]
+                mask = ~((jnp.arange(S)[None, :] <= rows)
+                         & valid[0][None, :])
+            else:
+                mask = ~valid
+                mask = jnp.broadcast_to(mask, (T, S))
+            y, ent = attend(q, pk, pv, mask=mask[None, None],
+                            measure_entropy=measure_entropy)
+        # dict(past, ...) keeps optional keys ("starts") so the scan
+        # carry structure is stable
+        present = dict(past, k=pk, v=pv, length=total)
 
     y = y.swapaxes(1, 2).reshape(B, T, C)
     y = linear(p["c_proj"], y)
@@ -371,15 +389,20 @@ def cache_len_for(cfg, prompt_len, new_tokens, extra=0):
     return min(cfg.block_size, max(128, -(-need // 128) * 128))
 
 
-def forward(p, cfg, input_ids, past=None):
-    """Last-token logits + updated cache (reference ha/attention.py:254-281)."""
+def forward(p, cfg, input_ids, past=None, positions=None):
+    """Last-token logits + updated cache (reference ha/attention.py:254-281).
+
+    positions: optional (B, T) per-row absolute positions for
+    left-padded batches (wpe lookup / rotary angles); defaults to
+    cache-length + arange."""
     t0 = past[0]["length"] if past is not None else 0
     if past is None:
         # cache dtype must match the params' k/v activations —
         # dynamic_update_slice rejects a float32 cache under bf16 params
         past = init_cache(cfg, input_ids.shape[0],
                           dtype=param_dtype(p))
-    x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0)
+    x, presents, _ = _trunk(p, cfg, input_ids, past_list=past, t0=t0,
+                            positions=positions)
     logits = linear(p["lm_head"], x[:, -1:, :])
     return logits, presents
 
@@ -531,10 +554,18 @@ def _prompt_lookup_draft(hist, K, ngram=2):
 
 
 def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
-             stop_token=50256, key=None):
+             stop_token=50256, key=None, prompt_lengths=None):
     """On-device autoregressive generation: prefill once, then a
     ``lax.scan`` over single-token steps against the fixed-size cache
     (replaces the reference's python streaming loop ha/attention.py:284-325).
+
+    prompt_lengths: optional (B,) — input_ids is a LEFT-padded batch of
+    variable-length prompts (row b's real tokens are its last
+    prompt_lengths[b] columns). Pad columns are attention-masked and
+    positions count from each row's own start, so every row generates
+    exactly what a solo ``generate`` on its unpadded prompt would
+    (tests/test_generate_batch.py) — the batched-serving surface
+    (hat --batch): one weight stream amortized over B streams.
 
     Returns (tokens (B, max_new_tokens), valid mask) — tokens after a
     stop_token are masked out.
@@ -544,7 +575,15 @@ def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
         key = jax.random.PRNGKey(0)
     cache = init_cache(cfg, B, dtype=param_dtype(p),
                        size=cache_len_for(cfg, T0, max_new_tokens))
-    logits, cache = forward(p, cfg, input_ids, past=cache)
+    positions = None
+    if prompt_lengths is not None:
+        starts = (T0 - prompt_lengths).astype(jnp.int32)      # (B,)
+        cache = [dict(c, starts=starts) for c in cache]
+        # pads get position 0; harmless — their K/V are masked out
+        positions = jnp.maximum(
+            jnp.arange(T0)[None, :] - starts[:, None], 0)
+    logits, cache = forward(p, cfg, input_ids, past=cache,
+                            positions=positions)
 
     def sample(logits, key):
         logits = logits[:, -1, :] / temperature
@@ -560,7 +599,13 @@ def generate(p, cfg, input_ids, max_new_tokens, temperature=1.0, top_k=None,
 
     def step(carry, key):
         tok, cache, alive = carry
-        logits, cache = forward(p, cfg, tok[:, None], past=cache)
+        pos = None
+        if prompt_lengths is not None:
+            # per-row position of the token being fed: cache fill level
+            # minus that row's left-pad offset
+            pos = (cache[0]["length"] - cache[0]["starts"])[:, None]
+        logits, cache = forward(p, cfg, tok[:, None], past=cache,
+                                positions=pos)
         nxt = sample(logits, key)
         alive = alive & (tok != stop_token)
         return (nxt, cache, alive), (tok, alive)

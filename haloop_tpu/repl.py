@@ -67,6 +67,17 @@ def main():
                              "buys modest decode speed (GPT-2S 1.05x, "
                              "XL 1.14x — PERFORMANCE.md). ~0.3%% per-"
                              "weight rounding; exact bf16 is default")
+    parser.add_argument('--batch', type=str, default=None, metavar='FILE',
+                        help="non-interactive batched serving: read one "
+                             "prompt per line, left-pad, and generate "
+                             "ALL completions in ONE jitted "
+                             "prefill+scan program (per-row attention "
+                             "masks + positions keep each stream "
+                             "exactly equal to its solo decode; the "
+                             "weight stream amortizes over the batch — "
+                             "PERFORMANCE.md batched decode). Prints "
+                             "one completion per line; --steps tokens "
+                             "each; incompatible with --spec/--chunk")
     parser.add_argument('--top-k', type=int, default=1)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--histfile', type=str, default='hat-history')
@@ -91,17 +102,18 @@ def main():
     # inputrc syntax and silently ignores the editline string; libedit
     # (macOS stdlib readline) is the reverse (reference uses the
     # libedit form only, ha/attention.py:357-365)
-    if 'libedit' in (getattr(readline, '__doc__', '') or ''):
-        readline.parse_and_bind('bind -v')
-    else:
-        readline.parse_and_bind('set editing-mode vi')
-    histfile = args.histfile
-    try:
-        readline.read_history_file(histfile)
-    except (FileNotFoundError, OSError):
-        print('Creating history file:', histfile, file=sys.stderr)
-        readline.write_history_file(histfile)
-    history_len = readline.get_current_history_length()
+    if args.batch is None:
+        if 'libedit' in (getattr(readline, '__doc__', '') or ''):
+            readline.parse_and_bind('bind -v')
+        else:
+            readline.parse_and_bind('set editing-mode vi')
+        histfile = args.histfile
+        try:
+            readline.read_history_file(histfile)
+        except (FileNotFoundError, OSError):
+            print('Creating history file:', histfile, file=sys.stderr)
+            readline.write_history_file(histfile)
+        history_len = readline.get_current_history_length()
 
     spec, params = load_model(args.ckpt_path)
     cfg = spec.config
@@ -149,6 +161,63 @@ def main():
         sp = spm.SentencePieceProcessor(model_file=args.spm)
         eos = Tok.eos
     key = jax.random.PRNGKey(args.seed)
+
+    if args.batch is not None:
+        # batched serving: all prompts decode in ONE jitted
+        # prefill+scan program; left-padding + per-row masks/positions
+        # keep every stream exactly equal to its solo decode
+        # (models/gpt.py generate(prompt_lengths=...))
+        if not cfg.causal:
+            raise SystemExit("--batch needs a causal model")
+        if args.spec or args.chunk > 1:
+            raise SystemExit("--batch is one scan program; "
+                             "--spec/--chunk do not apply")
+        with open(args.batch) as f:
+            prompts = [ln.rstrip('\n') for ln in f if ln.strip()]
+        if not prompts:
+            raise SystemExit(f"--batch {args.batch}: no prompts")
+        enc = [[eos] + sp.encode(pr) for pr in prompts]
+        width = max(len(e) for e in enc)
+        if width + args.steps > cfg.block_size:
+            raise SystemExit(
+                f"--batch: longest prompt ({width} tokens) + --steps "
+                f"{args.steps} exceeds the model's block_size "
+                f"{cfg.block_size} (the KV cache caps there)")
+        ids = np.full((len(enc), width), eos, np.int32)
+        for b, e in enumerate(enc):
+            ids[b, width - len(e):] = e
+        lens = jnp.asarray([len(e) for e in enc], jnp.int32)
+
+        @jax.jit
+        def gen(params, ids, lens, key):
+            return G.generate(params, cfg, ids, args.steps,
+                              temperature=args.temperature,
+                              top_k=args.top_k, stop_token=eos,
+                              key=key, prompt_lengths=lens)
+
+        def render(tids):
+            # same per-token rendering as the interactive emit() below,
+            # so a --batch row prints exactly its REPL stream
+            out = []
+            for t in tids:
+                piece = sp.id_to_piece(int(t))
+                if piece.startswith('▁'):
+                    out.append(' ')
+                    piece = piece[1:]
+                out.append(piece)
+            return ''.join(out)
+
+        t0 = time.time()
+        toks, alive = gen(params, jnp.asarray(ids), lens, key)
+        toks, alive = np.asarray(toks), np.asarray(alive)
+        t1 = time.time()
+        for b in range(len(prompts)):
+            print(render(toks[b][:int(alive[b].sum())].tolist()))
+        total = int(alive.sum())
+        print(f' ({total} tokens across {len(prompts)} streams in '
+              f'{t1-t0:.2f}s incl. compile = {total/(t1-t0):.0f} tok/s)',
+              file=sys.stderr)
+        return
 
     # jitted single-token step with a fixed-size cache
     @jax.jit

@@ -67,3 +67,49 @@ def test_hat_q8_generates(nano_ckpt, tmp_path):
     same jitted prefill+scan path and emits the full token budget."""
     out = gen(nano_ckpt, tmp_path, "--chunk", "4", "--q8")
     assert out.startswith(">- ")
+
+
+def batch(ckpt, prompts_file, *extra):
+    r = run([sys.executable, "-m", "haloop_tpu.repl", "--bytes",
+             "--steps", "16", "--batch", str(prompts_file)]
+            + list(extra) + [ckpt])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_hat_batch_matches_interactive_stream(nano_ckpt, tmp_path):
+    """--batch FILE: every left-padded row must print exactly the text
+    the interactive REPL streams for the same prompt (fp32 so bf16
+    batched-matmul tie-flips on an untrained model can't differ)."""
+    f = tmp_path / "prompts.txt"
+    f.write_text("hello\nsome other prompt\nx\n")
+    out = batch(nano_ckpt, f, "--dtype", "float32")
+    lines = out.split("\n")
+    assert len(lines) == 4 and lines[3] == "", out  # 3 rows + final \n
+    solo = run([sys.executable, "-m", "haloop_tpu.repl", "--bytes",
+                "--steps", "16", "--dtype", "float32",
+                "--histfile", str(tmp_path / "hist"), nano_ckpt],
+               input="some other prompt\n")
+    assert solo.returncode == 0, solo.stderr[-2000:]
+    # the REPL echoes ">- " then streams the continuation
+    assert solo.stdout.startswith(">- ")
+    assert lines[1] == solo.stdout[len(">- "):].split("\n")[0], \
+        (lines[1], solo.stdout)
+
+
+def test_hat_batch_rejects_spec_and_chunk(nano_ckpt, tmp_path):
+    f = tmp_path / "p.txt"
+    f.write_text("a\n")
+    r = run([sys.executable, "-m", "haloop_tpu.repl", "--bytes",
+             "--steps", "4", "--batch", str(f), "--spec", "4", nano_ckpt])
+    assert r.returncode != 0 and "--spec" in r.stderr
+
+
+def test_hat_batch_rejects_overlong_prompt(nano_ckpt, tmp_path):
+    """Prompt + steps past block_size must die cleanly (the KV cache
+    caps at block_size), not silently clamp the cache write."""
+    f = tmp_path / "p.txt"
+    f.write_text("x" * 400 + "\n")          # gpt-nano:300: block_size 300
+    r = run([sys.executable, "-m", "haloop_tpu.repl", "--bytes",
+             "--steps", "16", "--batch", str(f), nano_ckpt])
+    assert r.returncode != 0 and "block_size" in r.stderr
