@@ -20,6 +20,18 @@ shipped path stays models/gpt.py):
           qk batched matvec's layout forces a per-step transpose
   kv8     int8 k/v cache + per-row bf16 scales, scale folded into
           scores/probs (halves KV HBM reads; quantization noise only)
+  flat    cache stored FLAT (B, S, E): minor dim E=768 is a multiple
+          of the 128-lane tile, so the carry layout has ZERO padding
+          (the head-split (B,H,S,D) carry gets tiled {3,1,0,2:T(8,128)}
+          = (H,D)->(16,128) = 2.66x physical bytes — see
+          exp_decode_hlo.py). scores via one masked matmul
+          (B,S,E)x(B,E,H) that consumes the flat layout directly;
+          out via a broadcast-probs mul-reduce over S.
+  flatv   like flat but scores ALSO via VPU mul-reduce (no MXU
+          N=12-padded matmul)
+  flatsep seprate read/write on the flat cache: attend over the OLD
+          buffer + the new token scored directly, so the DUS result's
+          only consumer is the scan carry (in-place eligible)
 
 Run on a QUIET chip (PERFORMANCE.md methodology); interleaved reps.
 """
@@ -75,10 +87,88 @@ def main(argv=()):
                      -127, 127).astype(jnp.int8)
         return q, scale.astype(jnp.bfloat16)
 
+    head_eye = np.repeat(np.eye(nh, dtype=np.float32), hs, axis=0)  # (E,H)
+
     def make_variant(kind):
         """One (prefill+scan) jitted program with the kind's inner loop."""
 
+        def attn_step_flat(p, past, x, B, T):
+            # cache (B, S, E) flat
+            qkv = linear(p["attn"]["c_attn"], layer_norm(p["ln_1"], x))
+            q, k, v = jnp.split(qkv, 3, axis=-1)        # (B, T, E)
+            if kind == "pallas" and T == 1:
+                from haloop_tpu.ops.decode_attn import decode_attend_update
+                L = past["length"]
+                y, pk, pv = decode_attend_update(
+                    q[:, 0], k[:, 0], v[:, 0], past["k"], past["v"], L,
+                    n_head=nh, interpret=jax.default_backend() != "tpu")
+                present = dict(past, k=pk, v=pv, length=L + 1)
+                return (linear(p["attn"]["c_proj"], y[:, None]),
+                        present)
+            if T > 1:
+                # prefill (always from the empty cache here): local
+                # causal attention; write the flat rows
+                L = past["length"]
+                pk = jax.lax.dynamic_update_slice(past["k"], k, (0, L, 0))
+                pv = jax.lax.dynamic_update_slice(past["v"], v, (0, L, 0))
+                qh, kh, vh = (a.reshape(B, T, nh, hs).swapaxes(1, 2)
+                              for a in (q, k, v))
+                mask = (jnp.arange(T)[:, None]
+                        < jnp.arange(T)[None, :])[None, None]
+                y, _ = attend(qh, kh, vh, mask=mask)
+                y = y.swapaxes(1, 2).reshape(B, T, cfg.n_embd)
+                present = dict(past, k=pk, v=pv, length=L + T)
+                return linear(p["attn"]["c_proj"], y), present
+            L = past["length"]
+            total = L + 1
+            if kind == "flatsep":
+                old_k, old_v = past["k"], past["v"]
+                pk = jax.lax.dynamic_update_slice(past["k"], k, (0, L, 0))
+                pv = jax.lax.dynamic_update_slice(past["v"], v, (0, L, 0))
+                kv_k, kv_v, n_extra = old_k, old_v, 1
+            else:
+                pk = jax.lax.dynamic_update_slice(past["k"], k, (0, L, 0))
+                pv = jax.lax.dynamic_update_slice(past["v"], v, (0, L, 0))
+                kv_k, kv_v, n_extra = pk, pv, 0
+            if kind == "flatv":
+                # scores on the VPU: fused mul + segmented reduce over
+                # each head's 64 lanes — reads k once, flat layout
+                prod = (kv_k.astype(jnp.float32)
+                        * q.astype(jnp.float32))          # (B,S,E)
+                s = prod.reshape(B, S, nh, hs).sum(-1)    # (B,S,H)
+            else:
+                # one masked matmul consuming (B,S,E) directly:
+                # qM[b,e,h] = q[b,e] * [e in head h]
+                qM = q[:, 0, :, None] * head_eye[None]    # (B,E,H) f32
+                s = jnp.einsum("bse,beh->bsh", kv_k, qM.astype(kv_k.dtype),
+                               preferred_element_type=jnp.float32)
+            s = s / np.sqrt(hs)
+            smask = jnp.arange(S)[None, :, None] >= total
+            if kind == "flatsep":
+                smask = jnp.arange(S)[None, :, None] >= L
+            s = jnp.where(smask, -1e30, s)
+            if n_extra:
+                # the new token attends to itself: score q.k per head
+                s_new = (q.astype(jnp.float32)
+                         * k.astype(jnp.float32)
+                         ).reshape(B, 1, nh, hs).sum(-1) / np.sqrt(hs)
+                s = jnp.concatenate([s, s_new], axis=1)   # (B,S+1,H)
+            pattn = jax.nn.softmax(s, axis=1)
+            p_old = pattn[:, :S].astype(kv_v.dtype)
+            pexp = jnp.repeat(p_old, hs, axis=-1)         # (B,S,E)
+            y = jnp.einsum("bse,bse->be", kv_v, pexp,
+                           preferred_element_type=jnp.float32)
+            if n_extra:
+                p_new = jnp.repeat(pattn[:, S, :], hs, axis=-1)  # (B,E)
+                y = y + (p_new.astype(jnp.float32)
+                         * v[:, 0].astype(jnp.float32))
+            y = y.astype(v.dtype)[:, None, :]
+            present = dict(past, k=pk, v=pv, length=total)
+            return linear(p["attn"]["c_proj"], y), present
+
         def attn_step(p, past, x, B, T):
+            if kind.startswith("flat"):
+                return attn_step_flat(p, past, x, B, T)
             q, k, v = qkv_split(p, x, B, T)
             L = past["length"]
             if kind == "kv8":
@@ -228,9 +318,14 @@ def main(argv=()):
             dt = jnp.int8 if kind in ("kv8", "sep8") else jnp.bfloat16
             cache = []
             for _ in range(cfg.n_layer):
-                c = {"k": jnp.zeros((B, nh, hs, S) if kind == "kT"
-                                    else (B, nh, S, hs), dt),
-                     "v": jnp.zeros((B, nh, S, hs), dt),
+                if kind.startswith("flat"):
+                    kshape = vshape = (B, S, cfg.n_embd)
+                elif kind == "kT":
+                    kshape, vshape = (B, nh, hs, S), (B, nh, S, hs)
+                else:
+                    kshape = vshape = (B, nh, S, hs)
+                c = {"k": jnp.zeros(kshape, dt),
+                     "v": jnp.zeros(vshape, dt),
                      "length": jnp.int32(0)}
                 if kind in ("kv8", "sep8"):
                     c["ks"] = jnp.zeros((B, nh, S, 1), jnp.bfloat16)
@@ -258,7 +353,12 @@ def main(argv=()):
 
     rng = np.random.default_rng(0)
     kinds = ["base", "local", "sep", "sep8", "noupd", "noattn", "kT",
-             "kv8"]
+             "kv8", "flat", "flatv", "flatsep", "pallas"]
+    for a in argv:
+        if a.startswith("--kinds="):
+            keep = a.split("=", 1)[1].split(",")
+            kinds = ["base"] + [k for k in kinds if k in keep and
+                                k != "base"]
     fns = {"base": base_gen}
     fns.update({k: make_variant(k) for k in kinds[1:]})
 
@@ -267,7 +367,8 @@ def main(argv=()):
         out = {}
         for k in kinds:
             out[k] = np.asarray(fns[k](params, ids))   # compile+warm
-        assert (out["local"] == out["base"]).all(), "local != shipped"
+        if "local" in out:
+            assert (out["local"] == out["base"]).all(), "local != shipped"
         best = {k: float("inf") for k in kinds}
         for _ in range(3):                              # interleaved
             for k in kinds:
@@ -277,7 +378,8 @@ def main(argv=()):
         line = " ".join(f"{k}={B * NEW / best[k]:>7.0f}" for k in kinds)
         print(f"B={B:>3} tok/s: {line}", flush=True)
         agree = {k: (out[k] == out["base"]).mean()
-                 for k in ("sep", "sep8", "kv8")}
+                 for k in ("sep", "sep8", "kv8", "flat", "flatv",
+                           "flatsep", "pallas") if k in out}
         print(f"      step ms: "
               + " ".join(f"{k}={best[k] / NEW * 1e3:.3f}" for k in kinds)
               + "   greedy-agreement "
