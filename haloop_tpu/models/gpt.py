@@ -117,7 +117,9 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
           train=False, positions=None, segment_ids=None, seq_ring=None,
           seq_ring_spmd=None):
     """Fused qkv self-attention. past: optional dict with fixed-size
-    cache {"k","v" (B, nh, block, hs), "length" scalar}.
+    FLAT cache {"k","v" (B, block, n_embd) head-major rows, "length"
+    scalar} — see init_cache / ops/decode_attn.py for the layout
+    rationale.
     segment_ids (B, T): packed rows — tokens attend only within their
     own segment (block-diagonal x causal), 0 marks padding.
     seq_ring: optional (axis_name, n) — the sequence axis is sharded
@@ -197,13 +199,41 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
                          measure_entropy=measure_entropy)
         present = (k, v)
     else:
-        # write the new keys at fill position, attend over the window
-        pk = jax.lax.dynamic_update_slice(
-            past["k"], k, (0, 0, past["length"], 0))
-        pv = jax.lax.dynamic_update_slice(
-            past["v"], v, (0, 0, past["length"], 0))
-        S = pk.shape[-2]
+        # FLAT cache (B, S, E): E = n_embd is a multiple of the 128-lane
+        # tile, so the scan-carry layout is exactly the logical bytes —
+        # a head-split (B, H, S, D) carry is tile-padded (H, D) ->
+        # (16, 128) = 2.66x physical HBM on every decode step (measured:
+        # scripts/exp_decode_hlo.py, ops/decode_attn.py docstring).
+        S = past["k"].shape[1]
         total = past["length"] + T
+        k_flat = k.swapaxes(1, 2).reshape(B, T, C)   # post-rotary rows
+        v_flat = v.swapaxes(1, 2).reshape(B, T, C)
+        from haloop_tpu.ops import dispatch
+        # the fused kernel holds both (1, S, E) cache blocks in VMEM
+        vmem_need = 2 * S * C * past["k"].dtype.itemsize
+        if (T == 1 and not measure_entropy and dispatch.use_pallas()
+                and vmem_need <= 10 * 2**20):
+            from haloop_tpu.ops.decode_attn import decode_attend_update
+            y, pk_flat, pv_flat = decode_attend_update(
+                q[:, :, 0, :].reshape(B, C), k_flat[:, 0], v_flat[:, 0],
+                past["k"], past["v"], past["length"],
+                starts=past.get("starts"), n_head=nh)
+            y = y[:, None, :]                         # (B, 1, E)
+            ent = jnp.float32(0.0)
+            present = dict(past, k=pk_flat, v=pv_flat, length=total)
+            y = linear(p["c_proj"], y)
+            y = dropout(key, y, cfg.dropout, deterministic=not train)
+            return y, ent, present
+        # XLA fallback (prefill, draft-verify blocks, entropy, CPU):
+        # write the flat rows, attend through a head-split VIEW of the
+        # same buffer — identical values to the kernel path
+        # (tests/test_decode_attn.py pins interpret-mode parity)
+        pk_flat = jax.lax.dynamic_update_slice(
+            past["k"], k_flat, (0, past["length"], 0))
+        pv_flat = jax.lax.dynamic_update_slice(
+            past["v"], v_flat, (0, past["length"], 0))
+        pk = pk_flat.reshape(B, S, nh, hs).swapaxes(1, 2)
+        pv = pv_flat.reshape(B, S, nh, hs).swapaxes(1, 2)
         if "starts" in past:
             # left-padded batch (generate(prompt_lengths=...)): row b's
             # real tokens start at column starts[b]; pad columns are
@@ -231,7 +261,7 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
                             measure_entropy=measure_entropy)
         # dict(past, ...) keeps optional keys ("starts") so the scan
         # carry structure is stable
-        present = dict(past, k=pk, v=pv, length=total)
+        present = dict(past, k=pk_flat, v=pv_flat, length=total)
 
     y = y.swapaxes(1, 2).reshape(B, T, C)
     y = linear(p["c_proj"], y)
@@ -369,11 +399,13 @@ def param_dtype(p):
 
 
 def init_cache(cfg, batch, dtype=jnp.float32, size=None):
-    """Fixed-size KV cache pytree (static shapes for jit)."""
+    """Fixed-size KV cache pytree (static shapes for jit). Rows are
+    stored FLAT (batch, size, n_embd), head-major within a row — the
+    layout the decode step reads at exactly its logical bytes
+    (ops/decode_attn.py)."""
     size = size or cfg.block_size
-    hs = cfg.n_embd // cfg.n_head
-    return [{"k": jnp.zeros((batch, cfg.n_head, size, hs), dtype),
-             "v": jnp.zeros((batch, cfg.n_head, size, hs), dtype),
+    return [{"k": jnp.zeros((batch, size, cfg.n_embd), dtype),
+             "v": jnp.zeros((batch, size, cfg.n_embd), dtype),
              "length": jnp.int32(0)}
             for _ in range(cfg.n_layer)]
 
