@@ -68,8 +68,8 @@ def _kernel(meta_ref, qm_ref, kn_ref, vn_ref, kc_ref, vc_ref, mpv_ref,
     is_new = rows == L                                    # (S, 1)
 
     # merge the new token's K/V row, write back through the alias
-    k = jnp.where(is_new, kn_ref[...], kc_ref[0])         # (S, E)
-    v = jnp.where(is_new, vn_ref[...], vc_ref[0])
+    k = jnp.where(is_new, kn_ref[0], kc_ref[0])           # (S, E)
+    v = jnp.where(is_new, vn_ref[0], vc_ref[0])
     ko_ref[...] = k[None]
     vo_ref[...] = v[None]
 
@@ -90,7 +90,7 @@ def _kernel(meta_ref, qm_ref, kn_ref, vn_ref, kc_ref, vc_ref, mpv_ref,
         p, mpv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (S, E)
     y = jnp.sum(pexp * v.astype(jnp.float32), axis=0, keepdims=True)
-    y_ref[...] = y.astype(y_ref.dtype)
+    y_ref[...] = y[None].astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
@@ -123,19 +123,24 @@ def decode_attend_update(q, k_new, v_new, k_cache, v_cache, length,
     # the kernel (B*E*H elements, tiny next to the cache read)
     qm = (q[:, :, None] * mqk[None]).astype(k_cache.dtype)
 
+    # row operands/outputs ride as (B, 1, E): a (1, E) block over a
+    # (B, E) array violates Mosaic's last-two-dims rule for B > 1
+    # (block dim 1 neither 8-divisible nor == B) — observed as a
+    # lowering ValueError on real TPU at B = 16, invisible to
+    # interpret mode. (1, 1, E) blocks are always legal.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, E, H), lambda b, m: (b, 0, 0)),      # qM
-            pl.BlockSpec((1, E), lambda b, m: (b, 0)),            # k_new
-            pl.BlockSpec((1, E), lambda b, m: (b, 0)),            # v_new
+            pl.BlockSpec((1, 1, E), lambda b, m: (b, 0, 0)),      # k_new
+            pl.BlockSpec((1, 1, E), lambda b, m: (b, 0, 0)),      # v_new
             pl.BlockSpec((1, S, E), lambda b, m: (b, 0, 0)),      # k_cache
             pl.BlockSpec((1, S, E), lambda b, m: (b, 0, 0)),      # v_cache
             pl.BlockSpec((H, E), lambda b, m: (0, 0)),            # Mpv
         ],
         out_specs=[
-            pl.BlockSpec((1, E), lambda b, m: (b, 0)),            # y
+            pl.BlockSpec((1, 1, E), lambda b, m: (b, 0, 0)),      # y
             pl.BlockSpec((1, S, E), lambda b, m: (b, 0, 0)),
             pl.BlockSpec((1, S, E), lambda b, m: (b, 0, 0)),
         ],
@@ -144,7 +149,7 @@ def decode_attend_update(q, k_new, v_new, k_cache, v_cache, length,
         functools.partial(_kernel, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, E), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, 1, E), k_cache.dtype),
             jax.ShapeDtypeStruct((B, S, E), k_cache.dtype),
             jax.ShapeDtypeStruct((B, S, E), v_cache.dtype),
         ],
@@ -152,8 +157,9 @@ def decode_attend_update(q, k_new, v_new, k_cache, v_cache, length,
         # (0 meta, 1 qM, 2 k_new, 3 v_new, 4 k_cache, 5 v_cache, 6 Mpv)
         input_output_aliases={4: 1, 5: 2},
         interpret=interpret,
-    )(meta, qm, k_new, v_new, k_cache, v_cache, mpv)
-    return y, ko, vo
+    )(meta, qm, k_new[:, None, :], v_new[:, None, :], k_cache, v_cache,
+      mpv)
+    return y[:, 0, :], ko, vo
 
 
 def decode_attend_reference(q, k_new, v_new, k_cache, v_cache, length,
