@@ -20,6 +20,8 @@ Secondary lines (no baseline anchors exist; "note" marks them):
   * hat GPT-2-Small single-stream decode tok/s (FIRST — the most
     contention-sensitive metric; reads 5-10% low right after a heavy
     bench)
+  * hat --batch GPT-2-Small serving decode aggregate tok/s (B=32,
+    left-padded rows, fused flat-cache decode attention kernel)
   * e6ctc-d4:512 train utt/s (flagship attention recognizer, B=24)
   * rnn-transducer:lstm:512 train utt/s (B=16)
   * hap GPT-2-Small packed scoring real tokens/s (16 rows x 1024)
@@ -171,9 +173,11 @@ def main():
         float(out)
         return R * W * iters / (time.perf_counter() - t0)
 
-    def hat_decode_tokens_per_sec(new=128):
-        """GPT-2 Small single-stream decode (hat's path): one jitted
-        prefill + lax.scan program per call."""
+    def hat_decode_tokens_per_sec(new=128, B=1):
+        """GPT-2 Small decode (hat's path): one jitted prefill +
+        lax.scan program per call. B > 1 is the `hat --batch` serving
+        shape (left-padded rows; aggregate tok/s) — it rides the fused
+        flat-cache decode attention kernel (ops/decode_attn.py)."""
         from haloop_tpu.models import gpt as G
         cfg = G.GPTConfig(block_size=1024, vocab_size=50304, n_layer=12,
                           n_head=12, n_embd=768)
@@ -182,19 +186,21 @@ def main():
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
             G.gpt_init(jax.random.PRNGKey(0), cfg))
         ids = jnp.asarray(
-            np.random.default_rng(0).integers(1, 50257, (1, 32)))
+            np.random.default_rng(0).integers(1, 50257, (B, 32)))
+        lens = (jnp.full((B,), 32, jnp.int32) if B > 1 else None)
 
         @jax.jit
-        def gen(p, ids):
-            return G.generate(p, cfg, ids, max_new_tokens=new, top_k=1)
+        def gen(p, ids, lens):
+            return G.generate(p, cfg, ids, max_new_tokens=new, top_k=1,
+                              prompt_lengths=lens)
 
-        np.asarray(gen(params, ids)[0])
+        np.asarray(gen(params, ids, lens)[0])
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(gen(params, ids)[0])
+            np.asarray(gen(params, ids, lens)[0])
             best = min(best, time.perf_counter() - t0)
-        return new / best
+        return B * new / best
 
     # decode FIRST: it is the most contention-sensitive metric, and a
     # run right after the 5-minute hap bench measurably reads 5-10%
@@ -202,6 +208,9 @@ def main():
     # chip — the same pollution window the verify notes document)
     secondary("hat GPT-2S decode (B=1, jitted prefill+scan)",
               hat_decode_tokens_per_sec, "tokens/sec")
+    secondary("hat --batch GPT-2S serving decode (B=32, left-padded)",
+              lambda: hat_decode_tokens_per_sec(B=32),
+              "aggregate tokens/sec")
     secondary("hac e6ctc-d4:512 train throughput (B=24, 12s utts)",
               lambda: time_system_step('e6ctc-d4:512', 24, 1200, 24,
                                        feat_dim=80), "utt/sec")

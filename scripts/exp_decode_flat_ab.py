@@ -6,6 +6,16 @@ program — at B = 1, 8, 32, plain and left-padded (the hat --batch
 serving shape). Both program variants are compiled first, then timed
 interleaved A/B/A/B to defeat the transient-pollution failure mode the
 verify notes document. Run on a QUIET chip.
+
+On token parity: the kernel reduces the f32 probs·V contraction on the
+VPU (elementwise + sum over S) where XLA's head-split einsum rides the
+MXU — last-ULP y differences that flip a greedy argmax at near-tie
+logits. With a random-init model (near-uniform logits) a few rows per
+batch diverge mid-stream and drift after the flip; per-step values
+agree to bf16 tolerance (scripts/decode_attn_tpu_check.py: |dy| < 0.08)
+and the caches are bit-exact. The table reports rows-diverged and the
+earliest flip position rather than pretending bit-exact streams are
+the bar — same stream-parity semantics as flash-vs-naive attention.
 """
 
 import os
@@ -56,14 +66,18 @@ def main():
     print(f"# GPT-2S bf16 decode {T0}+{NEW}, interleaved best of {REPS}"
           f" (tok/s aggregate)")
     print(f"{'B':>4} {'pad':>4} {'xla':>9} {'kernel':>9} {'ratio':>7}"
-          f"  match")
+          f"  rows-diverged(first-flip)")
     for B in (1, 8, 32):
         for padded in (False, True):
             if padded and B == 1:
                 continue
             off, out_off = build(B, padded, "0")
             on, out_on = build(B, padded, "1")
-            match = bool((out_off == out_on).all())
+            diff_rows = [int(np.nonzero(a != b)[0][0])
+                         for a, b in zip(out_off, out_on)
+                         if (a != b).any()]
+            div = (f"{len(diff_rows)}/{B}"
+                   + (f" (@{min(diff_rows)})" if diff_rows else ""))
             t_off = min(off() for _ in range(REPS))
             t_on = min(on() for _ in range(REPS))
             # second interleaved pass, keep global best
@@ -71,7 +85,7 @@ def main():
             t_on = min(t_on, min(on() for _ in range(REPS)))
             print(f"{B:>4} {str(padded)[0]:>4} "
                   f"{B * NEW / t_off:>9.0f} {B * NEW / t_on:>9.0f} "
-                  f"{t_off / t_on:>6.2f}x  {match}", flush=True)
+                  f"{t_off / t_on:>6.2f}x  {div}", flush=True)
 
 
 if __name__ == "__main__":
