@@ -97,6 +97,16 @@ def test_hat_batch_matches_interactive_stream(nano_ckpt, tmp_path):
         (lines[1], solo.stdout)
 
 
+def test_hat_batch_q8(nano_ckpt, tmp_path):
+    """--batch composes with --q8: int8 weight matmuls under the one
+    batched prefill+scan program, one output line per prompt."""
+    f = tmp_path / "prompts.txt"
+    f.write_text("hello\nworld\n")
+    out = batch(nano_ckpt, f, "--q8")
+    lines = out.split("\n")
+    assert len(lines) == 3 and lines[2] == "", out
+
+
 def test_hat_batch_rejects_spec_and_chunk(nano_ckpt, tmp_path):
     f = tmp_path / "p.txt"
     f.write_text("a\n")
