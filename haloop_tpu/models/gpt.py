@@ -209,15 +209,27 @@ def _attn(p, cfg, x, *, past=None, t0=0, measure_entropy=False, key=None,
         k_flat = k.swapaxes(1, 2).reshape(B, T, C)   # post-rotary rows
         v_flat = v.swapaxes(1, 2).reshape(B, T, C)
         from haloop_tpu.ops import dispatch
-        # the fused kernel holds both (1, S, E) cache blocks in VMEM
+        # the single-block kernel holds both (1, S, E) cache blocks in
+        # VMEM; past that, the S-gridded online-softmax variant streams
+        # block_s-row blocks (same semantics, flash-decode accumulation)
         vmem_need = 2 * S * C * past["k"].dtype.itemsize
-        if (T == 1 and not measure_entropy and dispatch.use_pallas()
-                and vmem_need <= 10 * 2**20):
-            from haloop_tpu.ops.decode_attn import decode_attend_update
-            y, pk_flat, pv_flat = decode_attend_update(
+        fused = None
+        if T == 1 and not measure_entropy and dispatch.use_pallas():
+            from haloop_tpu.ops import decode_attn as da
+            if vmem_need <= 10 * 2**20:
+                fused = functools.partial(da.decode_attend_update,
+                                          n_head=nh)
+            else:
+                sb = da.pick_s_block(S, C, past["k"].dtype.itemsize)
+                if sb is not None:
+                    fused = functools.partial(
+                        da.decode_attend_update_gridded,
+                        n_head=nh, block_s=sb)
+        if fused is not None:
+            y, pk_flat, pv_flat = fused(
                 q[:, :, 0, :].reshape(B, C), k_flat[:, 0], v_flat[:, 0],
                 past["k"], past["v"], past["length"],
-                starts=past.get("starts"), n_head=nh)
+                starts=past.get("starts"))
             y = y[:, None, :]                         # (B, 1, E)
             ent = jnp.float32(0.0)
             present = dict(past, k=pk_flat, v=pv_flat, length=total)

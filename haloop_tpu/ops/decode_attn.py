@@ -162,6 +162,153 @@ def decode_attend_update(q, k_new, v_new, k_cache, v_cache, length,
     return y[:, 0, :], ko, vo
 
 
+# Finite mask value for the gridded kernel: exp(_NEG - m) == 0 in f32
+# for any finite m of realistic score magnitude, and a FULLY-masked
+# block leaves the running max at _NEG so its unit-weight garbage
+# contributions are killed by alpha = exp(_NEG - m_real) = 0 at the
+# first block with a real score. (-inf would make exp(-inf - -inf)
+# NaN for blocks entirely outside [starts, length].)
+_NEG = -1e30
+
+
+def _kernel_gridded(meta_ref, qm_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                    mpv_ref, y_ref, ko_ref, vo_ref,
+                    m_scr, l_scr, acc_scr, *, scale, n_sb):
+    import jax.experimental.pallas as pl
+    b = pl.program_id(0)
+    sb = pl.program_id(1)
+    L = meta_ref[0]
+    start = meta_ref[1 + b]
+
+    Sb = kc_ref.shape[1]
+    rows = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (Sb, 1), 0)
+    is_new = rows == L                                    # (Sb, 1)
+
+    # merge the new token's K/V row (in whichever S-block holds it),
+    # write every block back through the alias
+    k = jnp.where(is_new, kn_ref[0], kc_ref[0])           # (Sb, E)
+    v = jnp.where(is_new, vn_ref[0], vc_ref[0])
+    ko_ref[...] = k[None]
+    vo_ref[...] = v[None]
+
+    # Mpv is 0/1 — exact in bf16, so the f32 view is an exact selector
+    mpvf = mpv_ref[...].astype(jnp.float32)               # (H, E)
+
+    s = jax.lax.dot_general(
+        k, qm_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (Sb, H)
+    valid = (rows <= L) & (rows >= start)                 # (Sb, 1)
+    s = jnp.where(valid, s * scale, _NEG)
+
+    @pl.when(sb == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    m_prev = m_scr[...]                                   # (1, H)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)                       # (1, H)
+    e = jnp.exp(s - m_new)                                # (Sb, H) <= 1
+
+    m_scr[...] = m_new
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
+
+    # expand head-indexed weights to lanes: x[., e] = x[., head(e)]
+    eexp = jax.lax.dot_general(
+        e, mpvf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (Sb, E)
+    aexp = jax.lax.dot_general(
+        alpha, mpvf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (1, E)
+    contrib = jnp.sum(eexp * v.astype(jnp.float32), axis=0,
+                      keepdims=True)                      # (1, E)
+    acc_scr[...] = acc_scr[...] * aexp + contrib
+
+    @pl.when(sb == n_sb - 1)
+    def _final():
+        lexp = jax.lax.dot_general(
+            l_scr[...], mpvf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (1, E)
+        y_ref[...] = (acc_scr[...] / lexp)[None].astype(y_ref.dtype)
+
+
+def pick_s_block(S, E, itemsize, budget=4 * 2**20):
+    """Largest power-of-two S-block (>= 128) dividing S whose K + V
+    blocks fit ``budget`` bytes of VMEM; None if S has no such divisor
+    (then the caller keeps the XLA fallback)."""
+    for cand in (2048, 1024, 512, 256, 128):
+        if S % cand == 0 and 2 * cand * E * itemsize <= budget:
+            return cand
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "interpret"))
+def decode_attend_update_gridded(q, k_new, v_new, k_cache, v_cache,
+                                 length, starts=None, *, n_head, block_s,
+                                 interpret=False):
+    """decode_attend_update for caches too large to hold (1, S, E) in
+    VMEM: the S axis is gridded into ``block_s``-row blocks and the
+    softmax runs online (flash-decode style), carrying running
+    (max, denom, accumulator) in VMEM scratch across the sequential
+    inner grid axis. Semantics identical to decode_attend_update.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, E = k_cache.shape
+    H = n_head
+    assert E % H == 0 and S % block_s == 0
+    n_sb = S // block_s
+    scale = 1.0 / float(np.sqrt(E // H))
+
+    if starts is None:
+        starts = jnp.zeros((B,), jnp.int32)
+    meta = jnp.concatenate([jnp.asarray(length, jnp.int32).reshape(1),
+                            starts.astype(jnp.int32)])
+
+    mqk, mpv = head_matrices(H, E // H, k_cache.dtype)
+    qm = (q[:, :, None] * mqk[None]).astype(k_cache.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_sb),
+        in_specs=[
+            pl.BlockSpec((1, E, H), lambda b, s, m: (b, 0, 0)),    # qM
+            pl.BlockSpec((1, 1, E), lambda b, s, m: (b, 0, 0)),    # k_new
+            pl.BlockSpec((1, 1, E), lambda b, s, m: (b, 0, 0)),    # v_new
+            pl.BlockSpec((1, block_s, E), lambda b, s, m: (b, s, 0)),
+            pl.BlockSpec((1, block_s, E), lambda b, s, m: (b, s, 0)),
+            pl.BlockSpec((H, E), lambda b, s, m: (0, 0)),          # Mpv
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, E), lambda b, s, m: (b, 0, 0)),    # y
+            pl.BlockSpec((1, block_s, E), lambda b, s, m: (b, s, 0)),
+            pl.BlockSpec((1, block_s, E), lambda b, s, m: (b, s, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, H), jnp.float32),       # running max
+            pltpu.VMEM((1, H), jnp.float32),       # running denom
+            pltpu.VMEM((1, E), jnp.float32),       # running accumulator
+        ],
+    )
+    y, ko, vo = pl.pallas_call(
+        functools.partial(_kernel_gridded, scale=scale, n_sb=n_sb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, E), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, S, E), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, S, E), v_cache.dtype),
+        ],
+        # (0 meta, 1 qM, 2 k_new, 3 v_new, 4 k_cache, 5 v_cache, 6 Mpv)
+        input_output_aliases={4: 1, 5: 2},
+        interpret=interpret,
+    )(meta, qm, k_new[:, None, :], v_new[:, None, :], k_cache, v_cache,
+      mpv)
+    return y[:, 0, :], ko, vo
+
+
 def decode_attend_reference(q, k_new, v_new, k_cache, v_cache, length,
                             starts=None, *, n_head):
     """Pure-XLA oracle with identical semantics (head-split attend)."""

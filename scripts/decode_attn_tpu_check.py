@@ -24,6 +24,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from haloop_tpu.ops.decode_attn import (decode_attend_update,
+                                            decode_attend_update_gridded,
                                             decode_attend_reference)
 
     print("backend:", jax.default_backend(), flush=True)
@@ -54,6 +55,38 @@ def main():
             assert err < 0.08, (B, use_starts, err)
             assert cache_ok, (B, use_starts)
     print(f"OK compiled-mode kernel parity, worst |dy| = {worst:.4f}",
+          flush=True)
+
+    # gridded (online-softmax) variant: VMEM scratch carried across the
+    # sequential S-grid axis — compiled-mode lowering + parity at cache
+    # sizes past the single-block budget
+    worst_g = 0.0
+    for B, S2, block_s in ((1, 4096, 1024), (8, 2048, 512),
+                           (32, 1024, 256)):
+        for use_starts in (False, True):
+            q, kn, vn = (jnp.asarray(rng.normal(size=(B, E)),
+                                     jnp.bfloat16) for _ in range(3))
+            kc, vc = (jnp.asarray(rng.normal(size=(B, S2, E)),
+                                  jnp.bfloat16) for _ in range(2))
+            length = jnp.int32(S2 - S2 // 3)
+            starts = (jnp.asarray(rng.integers(0, 600, (B,)), jnp.int32)
+                      if use_starts else None)
+            y, ko, vo = decode_attend_update_gridded(
+                q, kn, vn, kc, vc, length, starts=starts, n_head=H,
+                block_s=block_s)
+            yr, kr, vr = decode_attend_reference(
+                q, kn, vn, kc, vc, length, starts=starts, n_head=H)
+            err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                        - yr.astype(jnp.float32))))
+            cache_ok = (bool(jnp.array_equal(ko, kr))
+                        and bool(jnp.array_equal(vo, vr)))
+            worst_g = max(worst_g, err)
+            print(f"gridded B={B:3d} S={S2} sb={block_s} "
+                  f"starts={use_starts!s:5}  max|dy|={err:.4f}"
+                  f"  cache_exact={cache_ok}", flush=True)
+            assert err < 0.08, (B, S2, use_starts, err)
+            assert cache_ok, (B, S2, use_starts)
+    print(f"OK gridded compiled-mode parity, worst |dy| = {worst_g:.4f}",
           flush=True)
 
 
